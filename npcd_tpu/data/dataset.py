@@ -1,0 +1,166 @@
+"""Dataset base + numpy batch loader.
+
+TPU-native data layer replacing the reference's torch Dataset/DataLoader
+(npcd/data/dataset.py): samples are dicts of numpy arrays, batching is a
+plain shuffled iterator that collates with np.stack. Host->device transfer
+happens once per step when the jitted train step consumes the batch (with
+optional device prefetch in the training loops). Data roots resolve from a
+paths.toml next to this file or ~/npcd_tpu_data_paths.toml.
+"""
+from __future__ import annotations
+
+import abc
+import os.path as osp
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils import logging
+
+try:  # tomllib is stdlib on py3.11+
+    import tomllib as _toml
+
+    def _load_toml(path):
+        with open(path, "rb") as f:
+            return _toml.load(f)
+except ImportError:  # pragma: no cover
+    import tomli as _toml  # type: ignore
+
+    def _load_toml(path):
+        with open(path, "rb") as f:
+            return _toml.load(f)
+
+
+def get_paths() -> Dict[str, Any]:
+    local = osp.join(osp.dirname(osp.realpath(__file__)), "paths.toml")
+    home = osp.join(osp.expanduser("~"), "npcd_tpu_data_paths.toml")
+    for path in (local, home):
+        if osp.exists(path):
+            return _load_toml(path)
+    raise FileNotFoundError(
+        "No paths.toml found; create npcd_tpu/data/paths.toml or "
+        "~/npcd_tpu_data_paths.toml with dataset roots."
+    )
+
+
+def get_path(*keys: str) -> Optional[str]:
+    node: Any = get_paths()
+    for key in keys:
+        if not isinstance(node, dict) or key not in node:
+            return None
+        node = node[key]
+    return node if isinstance(node, (str, list)) else None
+
+
+class Dataset(abc.ABC):
+    def __init__(self, root: Optional[str] = None, verbose: bool = True, **kwargs):
+        self.verbose = verbose
+        self.root = root
+        if self.verbose:
+            logging.info(f"Initializing dataset {self.name}" + (f" from {root}" if root else ""))
+        self.samples: List[Any] = []
+        self._init_samples(**kwargs)
+        if self.verbose:
+            logging.info(f"\tNumber of samples: {len(self)}")
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__
+
+    @abc.abstractmethod
+    def _init_samples(self, **kwargs):
+        ...
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        return self.samples[index]
+
+    def get_loader(
+        self,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        indices: Optional[Sequence[int]] = None,
+    ) -> "BatchLoader":
+        return BatchLoader(self, batch_size, shuffle, drop_last, seed, indices)
+
+    # -- threaded RAM preload (cf. reference srn.py:107-120) -----------------
+
+    @staticmethod
+    def preload_threading(
+        load_func: Callable, idx_list: Sequence, num_workers: int = 8, data_str: str = "items"
+    ) -> List[Any]:
+        idx_list = list(idx_list)
+        data_list: List[Any] = [None] * len(idx_list)
+        q: "queue.Queue" = queue.Queue()
+        for el in enumerate(idx_list):
+            q.put(el)
+
+        def worker():
+            while True:
+                try:
+                    i, idx = q.get_nowait()
+                except queue.Empty:
+                    return
+                data_list[i] = load_func(idx)
+                q.task_done()
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_workers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(x is not None for x in data_list), f"failed preloading {data_str}"
+        return data_list
+
+
+def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class BatchLoader:
+    """Shuffled epoch iterator over a Dataset, collating into numpy batches."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        seed: int = 0,
+        indices: Optional[Sequence[int]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self.indices.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n = len(order)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            chunk = order[start:start + self.batch_size]
+            yield collate([self.dataset[int(i)] for i in chunk])

@@ -1,0 +1,130 @@
+"""Stage-1 evaluation: render every view of every object, report PSNR.
+
+Rebuild of the reference PointNeRFEvaluation
+(npcd/eval/pointnerf_evaluation.py): evaluates the autodecoder on its own
+training scenes (it is an autodecoder — reference eval_pointnerf.py:53),
+rendering each object's views at full resolution in eval mode, computing
+per-view PSNR, and aggregating into a pandas frame written as csv/pickle.
+Runtime measurement brackets the jitted render with block_until_ready
+(the TPU analogue of the reference's cuda.synchronize protocol,
+pointnerf_evaluation.py:215-234) and is reported after 3 burn-in samples.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..utils import logging, writer
+from ..utils.util import psnr
+
+
+class PointNeRFEvaluation:
+    def __init__(
+        self,
+        out_dir: Optional[str] = None,
+        eval_batch_size: int = 1,
+        verbose: bool = True,
+    ):
+        self.out_dir = out_dir
+        self.eval_batch_size = eval_batch_size
+        self.verbose = verbose
+        self.burn_in_samples = 3
+
+    def __call__(
+        self,
+        dataset,
+        model,
+        params,
+        samples: Optional[int] = None,
+        qualitatives: int = 10,
+        resolution: int = 128,
+    ) -> pd.DataFrame:
+        if self.out_dir is not None:
+            os.makedirs(self.out_dir, exist_ok=True)
+            results_path = osp.join(self.out_dir, "results.pickle")
+            if osp.exists(results_path):  # idempotent (reference :94-97)
+                logging.info(f"Evaluation results exist at {results_path}; skipping.")
+                return pd.read_pickle(results_path)
+
+        indices = list(range(len(dataset)))
+        if samples is not None and samples < len(indices):
+            indices = list(
+                np.linspace(0, len(indices) - 1, samples).astype(int)
+            )
+
+        @jax.jit
+        def render_views(p, obj_idx, intr, extr):
+            pred, _ = model.forward(p, obj_idx, intr, extr, train=False,
+                                    resolution=resolution)
+            return pred["channels"]
+
+        rows = []
+        times = []
+        for n, idx in enumerate(indices):
+            sample = dataset[idx]
+            obj_idx = jnp.asarray([sample["obj_idx"]])
+            extr = jnp.asarray(sample["extrinsics"])[None]  # [1, V, 4, 4]
+            intr = jnp.asarray(sample["intrinsics"])[None]
+            gt = np.asarray(sample["images"])  # [V, H*W, 3]
+            num_views = extr.shape[1]
+
+            view_chunks = range(0, num_views, self.eval_batch_size)
+            channels = []
+            for start in view_chunks:
+                sl = slice(start, start + self.eval_batch_size)
+                t0 = time.time()
+                out = render_views(params, obj_idx, intr[:, sl], extr[:, sl])
+                out = jax.block_until_ready(out)
+                dt = time.time() - t0
+                if n >= self.burn_in_samples and self.eval_batch_size == 1:
+                    times.append(dt)
+                channels.append(np.asarray(out[0]))
+            channels = np.concatenate(channels, 0)  # [V, H*W, 3]
+
+            for v in range(num_views):
+                rows.append(
+                    {
+                        "obj_idx": int(sample["obj_idx"]),
+                        "view": int(sample["view_indices"][v]) if "view_indices" in sample else v,
+                        "psnr": psnr(channels[v], gt[v]),
+                    }
+                )
+            if self.verbose and (n % 50 == 0 or n == len(indices) - 1):
+                logging.info(
+                    f"eval {n + 1}/{len(indices)}: running PSNR "
+                    f"{np.mean([r['psnr'] for r in rows]):.3f}"
+                )
+            if self.out_dir is not None and n < qualitatives:
+                self._save_qualitative(channels, gt, resolution, idx)
+
+        df = pd.DataFrame(rows)
+        summary = {"psnr": float(df["psnr"].mean())}
+        if times:
+            summary["time_per_forward_s"] = float(np.mean(times))
+        logging.info(f"PointNeRF evaluation: {summary}")
+
+        if self.out_dir is not None:
+            df.to_pickle(osp.join(self.out_dir, "results.pickle"))
+            df.to_csv(osp.join(self.out_dir, "results.csv"))
+            pd.DataFrame([summary]).to_csv(osp.join(self.out_dir, "summary.csv"))
+        return df
+
+    def _save_qualitative(self, channels, gt, resolution, idx):
+        try:
+            from PIL import Image
+
+            img = np.clip(channels[0].reshape(resolution, resolution, 3), 0, 1)
+            gt_img = np.clip(gt[0].reshape(resolution, resolution, 3), 0, 1)
+            both = np.concatenate([img, gt_img], axis=1)
+            Image.fromarray((both * 255).astype(np.uint8)).save(
+                osp.join(self.out_dir, f"qualitative_{idx:05d}.png")
+            )
+        except Exception as e:  # qualitative output is best-effort
+            logging.warning(f"qualitative save failed: {e}")

@@ -1,0 +1,148 @@
+"""Diffusion model facade: denoiser + process + normalizers.
+
+Rebuild of the reference DiffusionModel
+(npcd/models/diffusion/diffusion_model.py:91-133) as a functional facade:
+parameters and normalizer statistics live in an explicit DiffusionState
+pytree; loss and generation are pure functions of (state, rng, data).
+Generation jits the whole scan-based sampler once and reuses it across
+batches.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import logging
+from ...utils.util import split_num
+from .gaussian_diffusion import GaussianDiffusion
+from .normalizers import (
+    NormalizerStats,
+    denormalize,
+    fit_minus_one_to_one,
+    fit_unit_gaussian,
+    normalize,
+)
+from .transformer import NPCDTransformer
+
+
+@flax.struct.dataclass
+class DiffusionState:
+    params: dict
+    coords_norm: NormalizerStats
+    feats_norm: NormalizerStats
+
+
+class DiffusionModel:
+    def __init__(
+        self,
+        coords_dim: int = 3,
+        feats_dim: int = 32,
+        num_points: int = 512,
+        width: int = 1024,
+        layers: int = 24,
+        heads: int = 16,
+        dtype: jnp.dtype = jnp.float32,
+        attn_impl: str = "auto",
+    ):
+        self.coords_dim = coords_dim
+        self.feats_dim = feats_dim
+        self.num_points = num_points
+        self.denoiser = NPCDTransformer(
+            coords_dim=coords_dim,
+            feats_dim=feats_dim,
+            width=width,
+            layers=layers,
+            heads=heads,
+            dtype=dtype,
+            attn_impl=attn_impl,
+        )
+        self.process = GaussianDiffusion()
+
+    # -- state --------------------------------------------------------------
+
+    def init(self, rng: jax.Array) -> DiffusionState:
+        coords = jnp.zeros((1, self.coords_dim, self.num_points), jnp.float32)
+        feats = jnp.zeros((1, self.feats_dim, self.num_points), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        params = self.denoiser.init(rng, coords, feats, t)["params"]
+        return DiffusionState(
+            params=params,
+            coords_norm=NormalizerStats.identity(self.coords_dim),
+            feats_norm=NormalizerStats.identity(self.feats_dim),
+        )
+
+    def fit_normalizers(self, state: DiffusionState, all_coords, all_feats) -> DiffusionState:
+        """all_coords: [dim, num_data], all_feats: [dim, num_data]
+        (cf. reference diffusion_training.py:44-45)."""
+        return state.replace(
+            coords_norm=fit_unit_gaussian(all_coords),
+            feats_norm=fit_minus_one_to_one(all_feats),
+        )
+
+    # -- loss / generation ---------------------------------------------------
+
+    def denoise_fn(self, params):
+        def fn(coords_t, feats_t, t):
+            return self.denoiser.apply({"params": params}, coords_t, feats_t, t)
+        return fn
+
+    def compute_loss(self, state: DiffusionState, rng: jax.Array, coords, feats):
+        """coords: [N, coords_dim, P], feats: [N, feats_dim, P] (latent space)."""
+        coords = normalize(state.coords_norm, coords)
+        feats = normalize(state.feats_norm, feats)
+        n = coords.shape[0]
+        rng_t, rng_loss = jax.random.split(rng)
+        t = jax.random.randint(rng_t, (n,), 0, self.process.num_timesteps)
+        return self.process.p_losses(
+            rng_loss, self.denoise_fn(state.params), coords, feats, t
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _generate_batch(self, state: DiffusionState, rng: jax.Array, batch_size: int):
+        rng_c, rng_f, rng_loop = jax.random.split(rng, 3)
+        coords_start = jax.random.normal(
+            rng_c, (batch_size, self.coords_dim, self.num_points), jnp.float32
+        )
+        feats_start = jax.random.normal(
+            rng_f, (batch_size, self.feats_dim, self.num_points), jnp.float32
+        )
+        coords, feats = self.process.p_sample_loop(
+            rng_loop,
+            self.denoise_fn(state.params),
+            coords_start,
+            feats_start,
+            coords_clip_range=(state.coords_norm.min[0], state.coords_norm.max[0]),
+            feats_clip_range=(state.feats_norm.min[0], state.feats_norm.max[0]),
+        )
+        coords = denormalize(state.coords_norm, coords)
+        feats = denormalize(state.feats_norm, feats)
+        return coords, feats
+
+    def generate(
+        self,
+        state: DiffusionState,
+        rng: jax.Array,
+        num: int,
+        batch_size: int = 8,
+        progress: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Generate `num` neural point clouds.
+
+        Returns (coords [num, coords_dim, P], feats [num, feats_dim, P]) as
+        stacked arrays (the reference returns python lists of per-object
+        tensors; a dense batch is both equivalent and TPU-friendlier).
+        """
+        coords_out, feats_out = [], []
+        for i, bs in enumerate(split_num(num, batch_size)):
+            rng, rng_batch = jax.random.split(rng)
+            coords, feats = self._generate_batch(state, rng_batch, bs)
+            coords_out.append(np.asarray(coords))
+            feats_out.append(np.asarray(feats))
+            if progress:
+                logging.info(f"generated {sum(c.shape[0] for c in coords_out)}/{num}")
+        return np.concatenate(coords_out, 0), np.concatenate(feats_out, 0)

@@ -1,0 +1,220 @@
+"""Gaussian diffusion (DDPM) over joint (coords, feats) point-cloud latents.
+
+Functional rebuild of the reference process
+(npcd/models/diffusion/diffusion_processes/gaussian_diffusion.py). All
+methods are pure and traceable; the 1000-step ancestral sampler is a single
+jax.lax.scan over the schedule instead of the reference's Python loop
+(gaussian_diffusion.py:148-177), so generation compiles to one XLA program.
+
+Noise handling: every stochastic op takes an explicit PRNG key.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.util import discretized_gaussian_log_likelihood, mean_flat, normal_kl
+from .schedule import DiffusionSchedule, extract, make_schedule
+
+# denoise_fn(coords_t, feats_t, t) -> (eps_coords, eps_feats)
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+class PSampleOut(NamedTuple):
+    coords: jnp.ndarray
+    feats: jnp.ndarray
+    coords_recon: jnp.ndarray
+    feats_recon: jnp.ndarray
+
+
+class GaussianDiffusion:
+    def __init__(self, schedule: Optional[DiffusionSchedule] = None):
+        self.schedule = schedule if schedule is not None else make_schedule()
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.schedule.num_timesteps
+
+    # -- forward process ----------------------------------------------------
+
+    def q_mean_variance(self, x_start, t):
+        s = self.schedule
+        mean = extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+        variance = extract(1.0 - s.alphas_cumprod, t, x_start.ndim)
+        log_variance = extract(s.log_one_minus_alphas_cumprod, t, x_start.ndim)
+        return mean, variance, log_variance
+
+    def q_sample(self, x_start, t, noise):
+        s = self.schedule
+        return (
+            extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+            + extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
+        )
+
+    def q_posterior_mean_variance(self, x_start, x_t, t):
+        s = self.schedule
+        mean = (
+            extract(s.posterior_mean_coef1, t, x_t.ndim) * x_start
+            + extract(s.posterior_mean_coef2, t, x_t.ndim) * x_t
+        )
+        variance = extract(s.posterior_variance, t, x_t.ndim)
+        log_variance_clipped = extract(s.posterior_log_variance_clipped, t, x_t.ndim)
+        return mean, variance, log_variance_clipped
+
+    # -- reverse process ----------------------------------------------------
+
+    def predict_xstart_from_eps(self, x_t, t, eps):
+        s = self.schedule
+        return (
+            extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+            - extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * eps
+        )
+
+    def predict_eps_from_xstart(self, x_t, t, x_start):
+        s = self.schedule
+        return (
+            extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - x_start
+        ) / extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
+    def _mean_recon(self, x_t, t, eps, clip_range):
+        recon = self.predict_xstart_from_eps(x_t, t, eps)
+        if clip_range is not None:
+            recon = jnp.clip(recon, clip_range[0], clip_range[1])
+        mean, _, log_variance = self.q_posterior_mean_variance(recon, x_t, t)
+        return mean, log_variance, recon
+
+    def p_mean_variance(
+        self,
+        denoise_fn: DenoiseFn,
+        coords_t,
+        feats_t,
+        t,
+        coords_clip_range=None,
+        feats_clip_range=None,
+    ):
+        eps_coords, eps_feats = denoise_fn(coords_t, feats_t, t)
+        c_mean, c_logvar, c_recon = self._mean_recon(coords_t, t, eps_coords, coords_clip_range)
+        f_mean, f_logvar, f_recon = self._mean_recon(feats_t, t, eps_feats, feats_clip_range)
+        return c_mean, c_logvar, c_recon, f_mean, f_logvar, f_recon
+
+    def p_sample(
+        self,
+        rng: jax.Array,
+        denoise_fn: DenoiseFn,
+        coords_t,
+        feats_t,
+        t,
+        coords_clip_range=None,
+        feats_clip_range=None,
+    ) -> PSampleOut:
+        """One ancestral sampling step x_t -> x_{t-1}; no noise at t == 0."""
+        c_mean, c_logvar, c_recon, f_mean, f_logvar, f_recon = self.p_mean_variance(
+            denoise_fn, coords_t, feats_t, t, coords_clip_range, feats_clip_range
+        )
+        rng_c, rng_f = jax.random.split(rng)
+        nonzero = (t != 0).astype(coords_t.dtype).reshape(-1, *([1] * (coords_t.ndim - 1)))
+        coords_next = c_mean + nonzero * jnp.exp(0.5 * c_logvar) * jax.random.normal(
+            rng_c, coords_t.shape, coords_t.dtype
+        )
+        feats_next = f_mean + nonzero * jnp.exp(0.5 * f_logvar) * jax.random.normal(
+            rng_f, feats_t.shape, feats_t.dtype
+        )
+        return PSampleOut(coords_next, feats_next, c_recon, f_recon)
+
+    def p_sample_loop(
+        self,
+        rng: jax.Array,
+        denoise_fn: DenoiseFn,
+        coords_start,
+        feats_start,
+        coords_clip_range=None,
+        feats_clip_range=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full reverse trajectory as one lax.scan; returns final (coords, feats).
+
+        Unlike the reference trajectory collector
+        (gaussian_diffusion.py:148-177) we do not materialize all 1000
+        intermediate states — the eval path only consumes the final sample.
+        """
+        n = coords_start.shape[0]
+
+        def step(carry, t_scalar):
+            coords_t, feats_t, rng = carry
+            rng, rng_step = jax.random.split(rng)
+            t = jnp.full((n,), t_scalar, dtype=jnp.int32)
+            out = self.p_sample(
+                rng_step, denoise_fn, coords_t, feats_t, t,
+                coords_clip_range, feats_clip_range,
+            )
+            return (out.coords, out.feats, rng), None
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+        (coords, feats, _), _ = jax.lax.scan(step, (coords_start, feats_start, rng), ts)
+        return coords, feats
+
+    # -- training loss ------------------------------------------------------
+
+    def p_losses(
+        self,
+        rng: jax.Array,
+        denoise_fn: DenoiseFn,
+        coords_start,
+        feats_start,
+        t,
+    ):
+        """Joint eps-MSE on coords and feats, each halved so their sum is the
+        average (reference gaussian_diffusion.py:199-230)."""
+        rng_c, rng_f = jax.random.split(rng)
+        coords_noise = jax.random.normal(rng_c, coords_start.shape, coords_start.dtype)
+        feats_noise = jax.random.normal(rng_f, feats_start.shape, feats_start.dtype)
+
+        coords_t = self.q_sample(coords_start, t, coords_noise)
+        feats_t = self.q_sample(feats_start, t, feats_noise)
+
+        eps_coords, eps_feats = denoise_fn(coords_t, feats_t, t)
+        pointwise_coords_loss = (coords_noise - eps_coords.astype(jnp.float32)) ** 2 / 2.0
+        pointwise_feats_loss = (feats_noise - eps_feats.astype(jnp.float32)) ** 2 / 2.0
+        coords_loss = pointwise_coords_loss.mean()
+        feats_loss = pointwise_feats_loss.mean()
+        loss = coords_loss + feats_loss
+
+        sub_losses = {"00_coords_loss": coords_loss, "01_feats_loss": feats_loss}
+        pointwise_losses = {
+            "pointwise_coords_loss": pointwise_coords_loss,
+            "pointwise_feats_loss": pointwise_feats_loss,
+        }
+        return loss, sub_losses, pointwise_losses
+
+    # -- diagnostics (reference gaussian_diffusion.py:179-197,243-307) -------
+
+    def _vb_terms_bpd(self, denoise_fn, coords_start, coords_t, feats_start, feats_t, t):
+        c_mean, c_logvar, c_recon, f_mean, f_logvar, f_recon = self.p_mean_variance(
+            denoise_fn, coords_t, feats_t, t
+        )
+
+        def vb(x_start, x_t, mean, logvar):
+            true_mean, _, true_logvar = self.q_posterior_mean_variance(x_start, x_t, t)
+            kl = normal_kl(true_mean, true_logvar, mean, logvar)
+            kl = mean_flat(kl) / np.log(2.0)
+            nll = -discretized_gaussian_log_likelihood(
+                x_start, means=mean, log_scales=0.5 * logvar
+            )
+            nll = mean_flat(nll) / np.log(2.0)
+            return jnp.where(t == 0, nll, kl)
+
+        return (
+            vb(coords_start, coords_t, c_mean, c_logvar),
+            c_recon,
+            vb(feats_start, feats_t, f_mean, f_logvar),
+            f_recon,
+        )
+
+    def prior_bpd(self, x_start):
+        n = x_start.shape[0]
+        t = jnp.full((n,), self.num_timesteps - 1, dtype=jnp.int32)
+        qt_mean, _, qt_log_variance = self.q_mean_variance(x_start, t)
+        kl_prior = normal_kl(qt_mean, qt_log_variance, 0.0, 0.0)
+        return mean_flat(kl_prior) / np.log(2.0)

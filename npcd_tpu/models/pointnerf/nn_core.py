@@ -1,0 +1,93 @@
+"""Minimal functional MLP + positional-encoding primitives.
+
+The PointNeRF compute path uses hand-rolled functional MLPs (explicit param
+pytrees) rather than flax modules: the render pipeline threads them through
+lax.map/scan chunking and jax.checkpoint rematerialization, which is simpler
+and more transparent without module plumbing. Semantics mirror the
+reference's define_mlp (npcd/utils/model.py:22-36: Linear+activation stacks,
+torch-default uniform init) and PositionalEncoder1D
+(npcd/utils/positional_encoder.py:7-23).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _linear_init(rng, d_in: int, d_out: int):
+    """torch.nn.Linear default init: U(+-1/sqrt(d_in)) for both w and b."""
+    bound = 1.0 / math.sqrt(d_in)
+    k_w, k_b = jax.random.split(rng)
+    w = jax.random.uniform(k_w, (d_in, d_out), jnp.float32, -bound, bound)
+    b = jax.random.uniform(k_b, (d_out,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_mlp(
+    rng,
+    dims: Sequence[int],
+    d_in: int,
+    d_out: Optional[int] = None,
+) -> List[Dict[str, jnp.ndarray]]:
+    """Hidden layers `dims` each followed by the activation, plus an optional
+    final linear projection to d_out (no activation)."""
+    layers = []
+    cur = d_in
+    for dim in dims:
+        rng, k = jax.random.split(rng)
+        layers.append(_linear_init(k, cur, dim))
+        cur = dim
+    if d_out is not None:
+        rng, k = jax.random.split(rng)
+        layers.append(_linear_init(k, cur, d_out))
+    return layers
+
+
+def apply_mlp(
+    layers: List[Dict[str, jnp.ndarray]],
+    x: jnp.ndarray,
+    act: str = "leaky_relu",
+    final_linear: bool = True,
+    compute_dtype: Any = None,
+) -> jnp.ndarray:
+    """Apply an init_mlp stack; activation after every layer except the last
+    when final_linear (matching define_mlp's trailing Linear)."""
+    if act == "leaky_relu":
+        act_fn = lambda h: jax.nn.leaky_relu(h, negative_slope=0.01)
+    elif act == "relu":
+        act_fn = jax.nn.relu
+    else:
+        raise ValueError(act)
+
+    n = len(layers)
+    h = x if compute_dtype is None else x.astype(compute_dtype)
+    for i, layer in enumerate(layers):
+        w, b = layer["w"], layer["b"]
+        if compute_dtype is not None:
+            w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+        h = jnp.dot(h, w, preferred_element_type=h.dtype) + b
+        if not (final_linear and i == n - 1):
+            h = act_fn(h)
+    return h
+
+
+def positional_encoding(
+    x: jnp.ndarray, n_freqs: int, freq_mult: float = 1.0
+) -> jnp.ndarray:
+    """[..., d] -> [..., d*(1+2*n_freqs)].
+
+    Per input dim: [x, sin(2^0 pi x) .. sin(2^{n-1} pi x),
+    cos(2^0 pi x) .. cos(2^{n-1} pi x)], matching the reference layout
+    (sin block then cos block, flattened per input dim)."""
+    freq_bands = freq_mult * (2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)) * jnp.pi
+    spectrum = x[..., None] * freq_bands  # [..., d, n]
+    enc = jnp.concatenate([jnp.sin(spectrum), jnp.cos(spectrum)], axis=-1)  # [..., d, 2n]
+    enc = enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * n_freqs)
+    return jnp.concatenate([x, enc], axis=-1)
+
+
+def posenc_dim(d_in: int, n_freqs: int) -> int:
+    return d_in * (1 + 2 * n_freqs)

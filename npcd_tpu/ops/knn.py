@@ -1,0 +1,122 @@
+"""kNN + voxel-occupancy ops for the PointNeRF render path.
+
+TPU-native replacement for the reference's torch_knnquery CUDA VoxelGrid
+(used at npcd/models/pointnerf/fields/aggregators/aggregator.py:59-76). The
+reference repo ships a pure-tensor fallback (aggregator.py:42-58) that
+defines the semantics: per query point, the k nearest neighbors among the
+object's 512 points, masked to those within an absolute radius. We implement
+that spec with fixed shapes:
+
+  * dense_knn: distances via one MXU matmul (|x|^2 + |p|^2 - 2 x.p) and
+    lax.top_k over the (small) point dimension — no ragged compaction.
+  * VoxelOccupancy: a dense dilated occupancy grid replacing the CUDA voxel
+    hashing — "is this sample inside the kernel window of an occupied voxel"
+    becomes a single gather from a [G^3] bool table, which is how ray samples
+    are pre-filtered before the (more expensive) kNN.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import VoxelGridOptions
+
+
+def dense_knn(
+    x: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    radius: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbors of each query within `radius`.
+
+    Args:
+      x:      [N, 3] query positions.
+      points: [P, 3] neighbor candidates (one object's point cloud).
+      k:      number of neighbors.
+      radius: absolute-space cutoff; neighbors beyond it are masked out.
+
+    Returns:
+      idx:  [N, k] int32 neighbor indices into `points` (valid entries only
+            meaningful where mask is True).
+      mask: [N, k] bool validity.
+    """
+    x = jax.lax.stop_gradient(x)
+    points = jax.lax.stop_gradient(points)
+    # Squared distances via MXU: |x|^2 - 2 x.p + |p|^2. Keep in f32.
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [N, 1]
+    p2 = jnp.sum(points * points, axis=-1)  # [P]
+    xp = jnp.dot(x, points.T, preferred_element_type=jnp.float32)  # [N, P]
+    d2 = x2 - 2.0 * xp + p2[None, :]
+    neg_d2, idx = jax.lax.top_k(-d2, k)  # top-k smallest distances
+    d2k = jnp.maximum(-neg_d2, 0.0)
+    mask = d2k < radius * radius
+    return idx.astype(jnp.int32), mask
+
+
+class VoxelOccupancy(NamedTuple):
+    """Dilated boolean occupancy grid for one batch of objects.
+
+    grid: [B, Gx, Gy, Gz] bool — True where the voxel's kernel window
+          contains at least one point.
+    """
+
+    grid: jnp.ndarray
+    origin: jnp.ndarray  # [3] lower corner of the grid
+    voxel_size: jnp.ndarray  # [3] scaled voxel edge lengths
+    dims: Tuple[int, int, int]
+
+    @staticmethod
+    def build(points: jnp.ndarray, opts: VoxelGridOptions) -> "VoxelOccupancy":
+        """points: [B, P, 3]."""
+        lo = jnp.asarray(opts.ranges[:3], jnp.float32)
+        hi = jnp.asarray(opts.ranges[3:], jnp.float32)
+        vsize = jnp.asarray(opts.scaled_voxel_size, jnp.float32)
+        import math
+
+        dims = tuple(
+            math.ceil((h - l) / v)
+            for h, l, v in zip(opts.ranges[3:], opts.ranges[:3], opts.scaled_voxel_size)
+        )
+        b, p, _ = points.shape
+
+        cell = jnp.floor((points - lo) / vsize).astype(jnp.int32)  # [B, P, 3]
+        in_range = jnp.all(
+            (cell >= 0) & (cell < jnp.asarray(dims, jnp.int32)), axis=-1
+        )  # [B, P]
+        cell = jnp.clip(cell, 0, jnp.asarray(dims, jnp.int32) - 1)
+        flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] + cell[..., 2]
+
+        occ = jnp.zeros((b, dims[0] * dims[1] * dims[2]), jnp.bool_)
+        batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, p))
+        occ = occ.at[batch_idx, flat].max(in_range)
+        occ = occ.reshape(b, *dims)
+
+        # Dilate by the kernel window (3x3x3 by default) with a max-pool.
+        kx, ky, kz = opts.kernel_size
+        occ = jax.lax.reduce_window(
+            occ,
+            False,
+            jax.lax.bitwise_or,
+            window_dimensions=(1, kx, ky, kz),
+            window_strides=(1, 1, 1, 1),
+            padding=[(0, 0)] + [((k - 1) // 2, (k - 1) // 2) for k in (kx, ky, kz)],
+        )
+        return VoxelOccupancy(grid=occ, origin=lo, voxel_size=vsize, dims=dims)
+
+    def query(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, ..., 3] sample positions -> bool [B, ...]: True if the
+        sample falls inside an occupied (dilated) voxel."""
+        dims = jnp.asarray(self.dims, jnp.int32)
+        cell = jnp.floor((x - self.origin) / self.voxel_size).astype(jnp.int32)
+        in_range = jnp.all((cell >= 0) & (cell < dims), axis=-1)
+        cell = jnp.clip(cell, 0, dims - 1)
+        flat = (cell[..., 0] * self.dims[1] + cell[..., 1]) * self.dims[2] + cell[..., 2]
+        b = x.shape[0]
+        grid_flat = self.grid.reshape(b, -1)
+        occupied = jnp.take_along_axis(
+            grid_flat, flat.reshape(b, -1), axis=1
+        ).reshape(in_range.shape)
+        return occupied & in_range

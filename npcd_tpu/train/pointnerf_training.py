@@ -1,0 +1,213 @@
+"""Stage-1 (PointNeRF autodecoder) training loop.
+
+Rebuild of the reference PointNeRFTraining (npcd/train/pointnerf_training.py):
+Adam at constant LR over the pointnerf params with the coords table frozen
+(reference freezes it via requires_grad; here via an optax mask), coords
+seeded once from the dataset's FPS point clouds, loss = reconstruction +
+KL + TV. The whole step (embed -> render -> 3 losses -> masked Adam update)
+is one jitted, donated function; DP shards the object batch across the
+('data',) mesh.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import PointNeRFLossWeights, pointnerf_loss
+from ..models.pointnerf import PointNeRF
+from ..parallel.mesh import replicate, shard_batch
+from ..utils import logging, writer
+from ..utils.checkpoint import CheckpointSaver, save_weights_only
+from ..utils.util import count_parameters
+
+
+@flax.struct.dataclass
+class PointNeRFTrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_pointnerf_optimizer(lr: float, grad_clip_max_norm: Optional[float] = None):
+    """Adam over everything except the frozen coords table
+    (reference pointnerf.py:22-24, pointnerf_training.py:101-102)."""
+    chain = []
+    if grad_clip_max_norm:
+        chain.append(optax.clip_by_global_norm(grad_clip_max_norm))
+    chain.append(optax.adam(lr))
+    tx = optax.chain(*chain)
+
+    def label_fn(params):
+        return {
+            k: ("freeze" if k == "coords_table" else "train") for k in params
+        }
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+    )
+
+
+def make_pointnerf_train_step(
+    model: PointNeRF,
+    tx: optax.GradientTransformation,
+    loss_weights: PointNeRFLossWeights,
+    donate: bool = True,
+):
+    def step(state: PointNeRFTrainState, batch, rng):
+        def loss_fn(params):
+            pred, aux = model.forward(
+                params,
+                batch["obj_idx"],
+                batch["intrinsics"],
+                batch["extrinsics"],
+                rng=rng,
+                train=True,
+            )
+            total, sub_losses = pointnerf_loss(
+                batch, pred, aux, model.opts, loss_weights
+            )
+            return total, sub_losses
+
+        (loss, sub_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **sub_losses}
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class PointNeRFTraining:
+    def __init__(
+        self,
+        out_dir: str,
+        model: PointNeRF,
+        dataset,
+        batch_size: int,
+        base_learning_rate: float,
+        max_epochs: int,
+        loss_weights: PointNeRFLossWeights = PointNeRFLossWeights(1.0, 1e-7, 3.5e-7),
+        grad_clip_max_norm: Optional[float] = None,
+        init_params: Optional[Any] = None,
+        seed: int = 42,
+        mesh=None,
+        print_interval: int = 100,
+        log_scalars_interval: int = 100,
+        save_checkpoint_interval_min: float = 20.0,
+        verbose: bool = True,
+        **_,
+    ):
+        import os
+
+        self.out_dir = out_dir
+        self.checkpoints_dir = os.path.join(out_dir, "checkpoints")
+        self.weights_dir = os.path.join(out_dir, "weights_only_checkpoints_dir")
+        os.makedirs(self.checkpoints_dir, exist_ok=True)
+        os.makedirs(self.weights_dir, exist_ok=True)
+
+        self.model = model
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.print_interval = print_interval
+        self.log_scalars_interval = log_scalars_interval
+        self.save_checkpoint_interval_min = save_checkpoint_interval_min
+        self.verbose = verbose
+        self.mesh = mesh
+        self.rng = jax.random.PRNGKey(seed)
+
+        steps_per_epoch = len(dataset) // batch_size
+        self.max_iterations = steps_per_epoch * max_epochs
+
+        params = init_params if init_params is not None else model.init_params(
+            jax.random.PRNGKey(seed)
+        )
+        # Seed coords from dataset FPS clouds once (reference :119).
+        params = model.set_all_coords(params, dataset.get_all_coords())
+
+        self.tx = make_pointnerf_optimizer(base_learning_rate, grad_clip_max_norm)
+        self.state = PointNeRFTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        self.saver = CheckpointSaver(self.checkpoints_dir, "pointnerf_training")
+        self.finished_iterations = 0
+        if self.saver.latest() is not None:
+            self.state, self.finished_iterations = self.saver.restore(self.state)
+            logging.info(f"Restored checkpoint at iteration {self.finished_iterations}")
+
+        self.train_step = make_pointnerf_train_step(model, self.tx, loss_weights)
+
+        if verbose:
+            logging.info(
+                f"PointNeRFTraining: {count_parameters(self.state.params)} params, "
+                f"batch {batch_size}, max_iterations {self.max_iterations}"
+            )
+
+    def __call__(self):
+        if self.finished_iterations >= self.max_iterations:
+            logging.info("Training already finished.")
+            return self.state
+
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+        writer.set_max_iterations(self.max_iterations)
+        loader = self.dataset.get_loader(
+            batch_size=self.batch_size, shuffle=True, drop_last=True,
+            seed=int(jax.random.randint(self.rng, (), 0, 2**31 - 1)),
+        )
+        it = self.finished_iterations
+        last_ckpt_time = time.time()
+        t_print = time.time()
+
+        while it < self.max_iterations:
+            for batch in loader:
+                if it >= self.max_iterations:
+                    break
+                feed = {
+                    k: batch[k]
+                    for k in ("obj_idx", "images", "intrinsics", "extrinsics")
+                }
+                if self.mesh is not None:
+                    feed = shard_batch(feed, self.mesh)
+                rng_iter = jax.random.fold_in(self.rng, it)
+                self.state, metrics = self.train_step(self.state, feed, rng_iter)
+                it += 1
+
+                if it % self.print_interval == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = (time.time() - t_print) / self.print_interval
+                    t_print = time.time()
+                    logging.info(
+                        f"iter {it}/{self.max_iterations} "
+                        f"loss {float(metrics['loss']):.5f} ({dt*1000:.1f} ms/it)"
+                    )
+                if it % self.log_scalars_interval == 0:
+                    writer.put_scalar_dict("pointnerf_train", jax.device_get(metrics), it)
+                    writer.write_out_storage()
+                if (time.time() - last_ckpt_time) / 60 > self.save_checkpoint_interval_min:
+                    self.saver.save(jax.device_get(self.state), it)
+                    last_ckpt_time = time.time()
+
+        self.saver.save(jax.device_get(self.state), it)
+        import os
+
+        save_weights_only(
+            os.path.join(self.weights_dir, f"pointnerf-iter-{it:09d}"),
+            jax.device_get(self.state.params),
+        )
+        self.finished_iterations = it
+        return self.state
