@@ -50,9 +50,14 @@ def dense_knn(
     p2 = jnp.sum(points * points, axis=-1)  # [P]
     xp = jnp.dot(x, points.T, preferred_element_type=jnp.float32)  # [N, P]
     d2 = x2 - 2.0 * xp + p2[None, :]
-    neg_d2, idx = jax.lax.top_k(-d2, k)  # top-k smallest distances
+    k_eff = min(k, points.shape[0])
+    neg_d2, idx = jax.lax.top_k(-d2, k_eff)  # top-k smallest distances
     d2k = jnp.maximum(-neg_d2, 0.0)
     mask = d2k < radius * radius
+    if k_eff < k:  # fewer candidate points than k: pad with invalid slots
+        pad = k - k_eff
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
     return idx.astype(jnp.int32), mask
 
 

@@ -1,0 +1,69 @@
+"""Checkpoint save/restore round-trip tests incl. EMA and normalizer stats
+(SURVEY.md §4 item 5; reference checkpoint_utils.py semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from npcd_tpu.models.diffusion import DiffusionModel
+from npcd_tpu.train.diffusion_training import DiffusionTrainState
+from npcd_tpu.utils.checkpoint import (
+    CheckpointSaver,
+    load_weights_only,
+    save_weights_only,
+)
+
+
+@pytest.fixture
+def state():
+    model = DiffusionModel(coords_dim=3, feats_dim=4, num_points=8,
+                           width=16, layers=1, heads=2, attn_impl="einsum")
+    tx = optax.adamw(1e-3)
+    dstate = model.init(jax.random.PRNGKey(0))
+    dstate = model.fit_normalizers(
+        dstate,
+        np.random.default_rng(0).normal(size=(3, 100)),
+        np.random.default_rng(1).normal(size=(4, 100)),
+    )
+    return DiffusionTrainState(
+        params=dstate.params,
+        opt_state=tx.init(dstate.params),
+        ema_params=(jax.tree_util.tree_map(lambda p: p + 1.0, dstate.params),),
+        step=jnp.asarray(7, jnp.int32),
+        coords_norm=dstate.coords_norm,
+        feats_norm=dstate.feats_norm,
+    )
+
+
+def _trees_equal(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_roundtrip_and_naming(tmp_path, state):
+    saver = CheckpointSaver(str(tmp_path), "diffusion_training", max_to_keep=3)
+    path = saver.save(jax.device_get(state), 123)
+    assert path.endswith("diffusion_training-iter-000000123")
+    restored, it = saver.restore(state)
+    assert it == 123
+    _trees_equal(restored, state)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(
+        np.asarray(restored.coords_norm.scale), np.asarray(state.coords_norm.scale)
+    )
+
+
+def test_keep_n_gc(tmp_path, state):
+    saver = CheckpointSaver(str(tmp_path), "ck", max_to_keep=2)
+    for it in [1, 2, 3, 4]:
+        saver.save(jax.device_get(state), it)
+    kept = [it for it, _ in saver.list_checkpoints()]
+    assert kept == [3, 4]
+
+
+def test_weights_only(tmp_path, state):
+    p = str(tmp_path / "weights")
+    save_weights_only(p, jax.device_get(state.params))
+    loaded = load_weights_only(p, state.params)
+    _trees_equal(loaded, state.params)

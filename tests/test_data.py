@@ -1,0 +1,57 @@
+"""Data layer tests: registry/factory, loaders, latent dataset, FPS."""
+import numpy as np
+import pytest
+
+from npcd_tpu.data import PointNeRFDataset, create_dataset, list_datasets
+from npcd_tpu.ops.fps import farthest_point_sampling
+
+
+def test_registry_contains_reference_datasets():
+    names = list_datasets()
+    assert "SRNCarsTrain" in names
+    assert "PointNeRFDataset" in names
+    assert "SyntheticNPCTrain" in names
+
+
+def test_synthetic_loader_batching():
+    ds = create_dataset("SyntheticNPCTrain", n_obj=6, num_views=2,
+                        image_size=8, num_points=16, verbose=False)
+    loader = ds.get_loader(batch_size=4, shuffle=True, drop_last=True, seed=1)
+    assert len(loader) == 1
+    batch = next(iter(loader))
+    assert batch["images"].shape == (4, 2, 64, 3)
+    assert batch["extrinsics"].shape == (4, 2, 4, 4)
+    assert batch["obj_idx"].shape == (4,)
+    assert ds.get_all_coords().shape == (6, 16, 3)
+
+
+def test_pointnerf_dataset_from_arrays():
+    coords = np.random.default_rng(0).normal(size=(5, 16, 3)).astype(np.float32)
+    feats = np.random.default_rng(1).normal(size=(5, 16, 4)).astype(np.float32)
+    ds = PointNeRFDataset(all_coords=coords, all_feats=feats, verbose=False)
+    assert len(ds) == 5
+    assert ds[0]["coords"].shape == (3, 16)
+    assert ds[0]["feats"].shape == (4, 16)
+    assert ds.get_all_coords().shape == (3, 5 * 16)
+
+
+def test_fps_spreads_points():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # two tight clusters far apart; FPS with k=2 must pick one from each
+    a = rng.normal(0, 0.01, (50, 3)) + np.array([5, 0, 0])
+    b = rng.normal(0, 0.01, (50, 3)) - np.array([5, 0, 0])
+    pts = np.concatenate([a, b]).astype(np.float32)
+    sampled, idx = farthest_point_sampling(jnp.asarray(pts), 2)
+    s = np.asarray(sampled)
+    assert np.linalg.norm(s[0] - s[1]) > 5.0
+
+
+def test_srn_split_parsing():
+    from npcd_tpu.data.srn import _read_split
+
+    lst = _read_split("cars_train", "srn_cars_blacklist.list")
+    assert len(lst) == 2347  # 2458 - 178 blacklisted, some blacklist ids absent
+    assert lst[0][0] == "cars"
+    assert lst[0][2] == 0 and lst[-1][2] == len(lst) - 1

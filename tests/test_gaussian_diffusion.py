@@ -1,0 +1,104 @@
+"""DDPM process tests (reference gaussian_diffusion.py semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npcd_tpu.models.diffusion.gaussian_diffusion import GaussianDiffusion
+from npcd_tpu.models.diffusion.schedule import make_schedule
+
+
+@pytest.fixture(scope="module")
+def gd():
+    return GaussianDiffusion()
+
+
+def test_q_sample_closed_form(gd):
+    x0 = jnp.ones((2, 3, 4))
+    noise = jnp.full((2, 3, 4), 0.5)
+    t = jnp.array([0, 999])
+    xt = np.asarray(gd.q_sample(x0, t, noise))
+    s = gd.schedule
+    for i, ti in enumerate([0, 999]):
+        expected = (
+            float(s.sqrt_alphas_cumprod[ti]) * 1.0
+            + float(s.sqrt_one_minus_alphas_cumprod[ti]) * 0.5
+        )
+        np.testing.assert_allclose(xt[i], expected, rtol=1e-6)
+
+
+def test_xstart_eps_roundtrip(gd):
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (4, 3, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 8))
+    t = jnp.array([1, 10, 500, 998])
+    xt = gd.q_sample(x0, t, eps)
+    x0_rec = gd.predict_xstart_from_eps(xt, t, eps)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), rtol=1e-3, atol=1e-4)
+    eps_rec = gd.predict_eps_from_xstart(xt, t, x0)
+    np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(eps), rtol=1e-2, atol=1e-3)
+
+
+def test_p_losses_perfect_denoiser_is_zero(gd):
+    """A denoiser that returns the true noise gives zero loss."""
+    x0_c = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8))
+    x0_f = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    t = jnp.array([5, 700])
+
+    captured = {}
+
+    def oracle(coords_t, feats_t, tt):
+        # reconstruct the true eps from the known x0
+        eps_c = gd.predict_eps_from_xstart(coords_t, tt, x0_c)
+        eps_f = gd.predict_eps_from_xstart(feats_t, tt, x0_f)
+        return eps_c, eps_f
+
+    loss, subs, _ = gd.p_losses(jax.random.PRNGKey(2), oracle, x0_c, x0_f, t)
+    assert float(loss) < 1e-6
+
+
+def test_p_losses_zero_denoiser_mean(gd):
+    """eps-prediction of 0 -> loss = E[eps^2]/2 * 2 halves ~ 1/2 + 1/2 = 1."""
+    zero = lambda c, f, t: (jnp.zeros_like(c), jnp.zeros_like(f))
+    x0_c = jnp.zeros((8, 3, 64))
+    x0_f = jnp.zeros((8, 4, 64))
+    t = jnp.arange(8) * 100
+    loss, _, _ = gd.p_losses(jax.random.PRNGKey(0), zero, x0_c, x0_f, t)
+    assert float(loss) == pytest.approx(1.0, rel=0.1)
+
+
+def test_p_sample_t0_deterministic(gd):
+    """At t=0 no noise is added: output equals the posterior mean."""
+    zero = lambda c, f, t: (jnp.zeros_like(c), jnp.zeros_like(f))
+    c = jnp.ones((1, 3, 4))
+    f = jnp.ones((1, 2, 4))
+    t = jnp.array([0])
+    o1 = gd.p_sample(jax.random.PRNGKey(0), zero, c, f, t)
+    o2 = gd.p_sample(jax.random.PRNGKey(1), zero, c, f, t)
+    np.testing.assert_allclose(np.asarray(o1.coords), np.asarray(o2.coords))
+
+
+def test_p_sample_loop_shapes_and_clipping():
+    # explicit endpoints: the reference's T-scaled defaults exceed 1 for tiny T
+    sched = make_schedule(num_diffusion_steps=10, beta_start=1e-4, beta_end=0.02)
+    gd = GaussianDiffusion(sched)
+    zero = lambda c, f, t: (jnp.zeros_like(c), jnp.zeros_like(f))
+    c0 = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8))
+    f0 = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    c, f = gd.p_sample_loop(
+        jax.random.PRNGKey(2), zero, c0, f0,
+        coords_clip_range=(-0.1, 0.1), feats_clip_range=(-0.2, 0.2),
+    )
+    assert c.shape == (2, 3, 8) and f.shape == (2, 4, 8)
+    assert np.isfinite(np.asarray(c)).all()
+
+
+def test_vb_terms_finite(gd):
+    zero = lambda c, f, t: (jnp.zeros_like(c), jnp.zeros_like(f))
+    c0 = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4)) * 0.1
+    f0 = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 4)) * 0.1
+    t = jnp.array([0, 500])
+    ct = gd.q_sample(c0, t, jnp.zeros_like(c0))
+    ft = gd.q_sample(f0, t, jnp.zeros_like(f0))
+    kl_c, _, kl_f, _ = gd._vb_terms_bpd(zero, c0, ct, f0, ft, t)
+    assert np.isfinite(np.asarray(kl_c)).all() and np.isfinite(np.asarray(kl_f)).all()

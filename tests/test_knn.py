@@ -1,0 +1,90 @@
+"""kNN / occupancy oracle tests: the dense jax implementations against
+numpy brute force (SURVEY.md §4 item 2 — the reference's pure-tensor
+fallback aggregator.py:42-58 is the semantic spec)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npcd_tpu.ops.knn import VoxelOccupancy, dense_knn
+from npcd_tpu.models.pointnerf.aggregator import compact_valid_samples
+from npcd_tpu.utils.config import VoxelGridOptions
+
+
+def test_dense_knn_vs_bruteforce():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    pts = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+    k, radius = 5, 0.7
+    idx, mask = dense_knn(jnp.asarray(x), jnp.asarray(pts), k, radius)
+    idx, mask = np.asarray(idx), np.asarray(mask)
+
+    d = np.linalg.norm(x[:, None] - pts[None], axis=-1)
+    for i in range(len(x)):
+        order = np.argsort(d[i])[:k]
+        got = set(idx[i][mask[i]])
+        expected = {j for j in order if d[i, j] < radius}
+        assert got == expected, i
+        # distances of valid neighbors match the k smallest within radius
+        np.testing.assert_allclose(
+            np.sort(d[i, list(got)]), np.sort([d[i, j] for j in expected]), rtol=1e-5
+        )
+
+
+def test_occupancy_query():
+    opts = VoxelGridOptions()
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-0.9, 0.9, (2, 30, 3)).astype(np.float32)
+    occ = VoxelOccupancy.build(jnp.asarray(pts), opts)
+
+    queries = rng.uniform(-1.2, 1.2, (2, 200, 3)).astype(np.float32)
+    got = np.asarray(occ.query(jnp.asarray(queries)))
+
+    # numpy oracle: dilated occupancy
+    vsize = np.asarray(opts.scaled_voxel_size)
+    lo = np.asarray(opts.ranges[:3])
+    dims = occ.dims
+    for b in range(2):
+        grid = np.zeros(dims, bool)
+        cells = np.floor((pts[b] - lo) / vsize).astype(int)
+        for c in cells:
+            if (c >= 0).all() and (c < dims).all():
+                grid[tuple(c)] = True
+        # dilate 3x3x3
+        dil = np.zeros_like(grid)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    sl = lambda d: slice(max(d, 0), None) if d >= 0 else slice(None, d)
+                    src = grid[
+                        slice(max(-dx, 0), dims[0] - max(dx, 0)),
+                        slice(max(-dy, 0), dims[1] - max(dy, 0)),
+                        slice(max(-dz, 0), dims[2] - max(dz, 0)),
+                    ]
+                    dil[
+                        slice(max(dx, 0), dims[0] - max(-dx, 0)),
+                        slice(max(dy, 0), dims[1] - max(-dy, 0)),
+                        slice(max(dz, 0), dims[2] - max(-dz, 0)),
+                    ] |= src
+        qc = np.floor((queries[b] - lo) / vsize).astype(int)
+        in_range = ((qc >= 0) & (qc < dims)).all(-1)
+        expected = np.zeros(len(queries[b]), bool)
+        for i, (c, ir) in enumerate(zip(qc, in_range)):
+            expected[i] = ir and dil[tuple(np.clip(c, 0, np.array(dims) - 1))]
+        np.testing.assert_array_equal(got[b], expected)
+
+
+def test_compact_valid_samples():
+    valid = jnp.asarray(
+        [[False, True, False, True, True, True, False, True]]
+    )
+    depths = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]])
+    d, m = compact_valid_samples(valid, depths, 3)
+    # first 3 valid depths, in order
+    np.testing.assert_array_equal(np.asarray(m), [[True, True, True]])
+    np.testing.assert_allclose(np.asarray(d), [[1.0, 3.0, 4.0]])
+
+    # fewer valid than M -> prefix mask
+    valid2 = jnp.asarray([[False, True, False, False, False, False, False, False]])
+    d2, m2 = compact_valid_samples(valid2, depths, 3)
+    np.testing.assert_array_equal(np.asarray(m2), [[True, False, False]])
+    assert np.asarray(d2)[0, 0] == 1.0

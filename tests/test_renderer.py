@@ -1,0 +1,137 @@
+"""Ray sampling / AABB / compositing golden tests
+(reference renderers/{renderer,volume_renderer,ray_sampler,math_utils}.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npcd_tpu.models.pointnerf.math_utils import (
+    fill_invalid_ray_limits,
+    get_ray_limits_box,
+)
+from npcd_tpu.models.pointnerf.ray_sampler import generate_rays
+from npcd_tpu.models.pointnerf.renderer import (
+    fix_shading_depths,
+    ray_march,
+    sample_depths,
+)
+
+
+def test_ray_box_limits_hit_and_miss():
+    o = jnp.asarray([[0.0, 0.0, -5.0], [0.0, 5.0, -5.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    tmin, tmax = get_ray_limits_box(o, d, box_size=1.0)
+    # central ray enters at z=-1 (t=4), exits z=1 (t=6)
+    assert float(tmin[0, 0]) == pytest.approx(4.0)
+    assert float(tmax[0, 0]) == pytest.approx(6.0)
+    # ray at y=5 misses: (-1, -2) convention
+    assert float(tmin[1, 0]) == -1.0 and float(tmax[1, 0]) == -2.0
+
+
+def test_fill_invalid_ray_limits():
+    start = jnp.asarray([[4.0], [-1.0]])
+    end = jnp.asarray([[6.0], [-2.0]])
+    s, e = fill_invalid_ray_limits(start, end)
+    assert float(s[1, 0]) == 4.0 and float(e[1, 0]) == 6.0
+
+
+def test_ray_sampler_center_pixel():
+    res = 4
+    focal = 10.0
+    intr = jnp.asarray([[[focal, 0, res / 2], [0, focal, res / 2], [0, 0, 1]]])
+    extr = jnp.eye(4)[None]  # camera at origin looking +z
+    o, d = generate_rays(extr, intr, res)
+    assert o.shape == (1, 16, 3) and d.shape == (1, 16, 3)
+    np.testing.assert_allclose(np.asarray(o), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, rtol=1e-5)
+    # all rays point forward (+z)
+    assert (np.asarray(d)[..., 2] > 0).all()
+    # pixel (row 1, col 1) center = (1.5, 1.5): dir x/z = (1.5-2)/10
+    ray = np.asarray(d)[0, 1 * res + 1]
+    np.testing.assert_allclose(ray[0] / ray[2], (1.5 - 2.0) / focal, rtol=1e-5)
+    np.testing.assert_allclose(ray[1] / ray[2], (1.5 - 2.0) / focal, rtol=1e-5)
+
+
+def test_ray_sampler_extrinsics_inversion():
+    """world2cam with camera at (0,0,-3): rays originate there."""
+    extr = jnp.eye(4).at[2, 3].set(3.0)[None]  # world2cam translate +3 in z
+    intr = jnp.asarray([[[10.0, 0, 2], [0, 10.0, 2], [0, 0, 1]]])
+    o, d = generate_rays(extr, intr, 4)
+    np.testing.assert_allclose(np.asarray(o)[0, 0], [0, 0, -3.0], atol=1e-6)
+
+
+def test_sample_depths_uniform_and_jitter():
+    start = jnp.full((2, 3), 1.0)
+    end = jnp.full((2, 3), 2.0)
+    d = sample_depths(start, end, 5)
+    np.testing.assert_allclose(np.asarray(d)[0, 0], [1.0, 1.25, 1.5, 1.75, 2.0], rtol=1e-6)
+    dj = sample_depths(start, end, 5, rng=jax.random.PRNGKey(0))
+    delta = 0.25
+    assert (np.asarray(dj) >= np.asarray(d) - 1e-6).all()
+    assert (np.asarray(dj) <= np.asarray(d) + delta + 1e-6).all()
+
+
+def test_fix_shading_depths():
+    depths = jnp.asarray([[1.0, 2.0, 0.0, 0.0]])
+    mask = jnp.asarray([[True, True, False, False]])
+    ray_end = jnp.asarray([9.0])
+    d = np.asarray(fix_shading_depths(depths, mask, ray_end))
+    # trailing invalid slots carry the last valid depth (cummax roll-forward)
+    np.testing.assert_allclose(d, [[1.0, 2.0, 2.0, 2.0]])
+    # all-invalid ray -> ray_end everywhere
+    d2 = np.asarray(
+        fix_shading_depths(depths, jnp.zeros_like(mask), ray_end)
+    )
+    np.testing.assert_allclose(d2, 9.0)
+
+
+def test_ray_march_single_opaque_sample():
+    """One very dense sample -> alpha ~1 -> channels = rgb of that sample."""
+    sigma = jnp.asarray([[1e8, 0.0, 0.0]])
+    depths = jnp.asarray([[1.0, 2.0, 3.0]])
+    rgb = jnp.asarray([[[0.2, 0.4, 0.6], [0.9, 0.9, 0.9], [0.9, 0.9, 0.9]]])
+    out = ray_march(sigma, depths, rgb, white_back=False)
+    np.testing.assert_allclose(np.asarray(out["channels"])[0], [0.2, 0.4, 0.6], rtol=1e-5)
+    assert float(out["mask"][0]) == pytest.approx(1.0)
+    assert float(out["depth"][0]) == pytest.approx(1.0)
+
+
+def test_ray_march_white_back():
+    sigma = jnp.zeros((1, 3))
+    depths = jnp.asarray([[1.0, 2.0, 3.0]])
+    rgb = jnp.zeros((1, 3, 3))
+    out = ray_march(sigma, depths, rgb, white_back=True)
+    np.testing.assert_allclose(np.asarray(out["channels"])[0], 1.0, atol=1e-6)
+    assert float(out["mask"][0]) == pytest.approx(0.0)
+
+
+def test_ray_march_last_sample_zero_delta():
+    """The trailing delta is zero (reference volume_renderer.py:36): the last
+    sample never contributes."""
+    sigma = jnp.asarray([[0.0, 0.0, 1e8]])
+    depths = jnp.asarray([[1.0, 2.0, 3.0]])
+    rgb = jnp.full((1, 3, 3), 0.5)
+    out = ray_march(sigma, depths, rgb, white_back=False)
+    assert float(out["mask"][0]) == pytest.approx(0.0)
+
+
+def test_ray_march_two_semitransparent():
+    """Hand-computed two-sample compositing."""
+    import math
+
+    s1, s2 = 1.0, 2.0
+    d1, d2, d3 = 1.0, 1.5, 2.0
+    sigma = jnp.asarray([[s1, s2, 0.0]])
+    depths = jnp.asarray([[d1, d2, d3]])
+    rgb = jnp.asarray([[[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]])
+    a1 = 1 - math.exp(-s1 * (d2 - d1))
+    a2 = 1 - math.exp(-s2 * (d3 - d2))
+    w1 = a1
+    w2 = a2 * (1 - a1 + 1e-10)
+    out = ray_march(sigma, depths, rgb, white_back=False)
+    np.testing.assert_allclose(
+        np.asarray(out["channels"])[0], [w1, w2, 0.0], rtol=1e-5
+    )
+    assert float(out["depth"][0]) == pytest.approx(
+        (w1 * d1 + w2 * d2) / (w1 + w2), rel=1e-5
+    )
