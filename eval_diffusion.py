@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Stage-2 eval CLI: unconditional generation FID/KID.
+
+TPU-native counterpart of the reference eval_diffusion.py (same flags):
+generate num_samples point clouds, render each from the fixed test poses,
+compute FID + KID against precomputed Inception statistics.
+"""
+import argparse
+import os
+import os.path as osp
+import sys
+
+
+def eval(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from npcd_tpu.eval import DiffusionEvaluation
+    from npcd_tpu.models.npcd import NPCD
+    from npcd_tpu.utils import load_config, logging, print_config, writer
+    from npcd_tpu.utils.checkpoint import load_weights_only
+    from npcd_tpu.utils.util import set_seed
+
+    set_seed(args.seed)
+    out_dir = args.output
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        logging.add_log_file(osp.join(out_dir, "log.txt"))
+        with open(osp.join(out_dir, "cmd.txt"), "a") as f:
+            f.write(" ".join(sys.argv) + "\n")
+        writer.setup_writers(args.log_dir or out_dir, tensorboard=not args.no_tensorboard)
+
+    config = load_config(args.config)
+    print_config(config)
+
+    model = NPCD.from_config(config)
+    params = model.init_params(jax.random.PRNGKey(args.seed))
+    # weights checkpoint holds {'pointnerf': ..., 'diffusion': DiffusionState}
+    params = load_weights_only(args.weights, params)
+    logging.info(f"Loaded weights from {args.weights}")
+
+    evaluation = DiffusionEvaluation(
+        out_dir=out_dir,
+        **config["diffusion_evaluation"],
+    )
+    evaluation(
+        model,
+        params["pointnerf"],
+        params["diffusion"],
+        rng=jax.random.PRNGKey(args.seed),
+        num_qualitatives=args.num_qualitatives,
+    )
+    if out_dir:
+        writer.close_writers()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output", help="Path to folder for output data.")
+    parser.add_argument("--config", help="Path to config file.", required=True)
+    parser.add_argument("--weights", help="Path to weights of the model.", required=True)
+    parser.add_argument("--seed", type=int, default=42, help="Random seed. Default: 42.")
+    parser.add_argument("--eval_name", type=str, help="Name of the evaluation. Optional.")
+    parser.add_argument("--finished_iterations", type=int,
+                        help="Training iterations of the model (logging only).")
+    parser.add_argument("--num_qualitatives", type=int, default=10,
+                        help="Number of qualitative renders to save.")
+    parser.add_argument("--log_dir", help="Folder for tensorboard logs. Default: output dir.")
+    parser.add_argument("--no_tensorboard", action="store_true")
+    parser.add_argument("--wandb", action="store_true",
+                        help="Accepted for reference-CLI compatibility (wandb is not bundled).")
+    parser.add_argument("--exp_id", type=str)
+    parser.add_argument("--comment", type=str)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force JAX platform (e.g. cpu, tpu).")
+    eval(parser.parse_args())

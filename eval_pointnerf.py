@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Stage-1 eval CLI: PSNR of the autodecoder on its training scenes.
+
+TPU-native counterpart of the reference eval_pointnerf.py (same flags).
+Runtime measurement is only valid with --eval_batch_size 1 after 3 burn-in
+samples (block_until_ready bracketing replaces cuda.synchronize).
+"""
+import argparse
+import os
+import os.path as osp
+import sys
+
+
+def eval(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from npcd_tpu.eval import PointNeRFEvaluation
+    from npcd_tpu.utils import load_config, logging, print_config, writer
+    from npcd_tpu.utils.checkpoint import load_weights_only
+    from npcd_tpu.utils.util import set_seed
+
+    set_seed(args.seed)
+    out_dir = args.output
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        logging.add_log_file(osp.join(out_dir, "log.txt"))
+        with open(osp.join(out_dir, "cmd.txt"), "a") as f:
+            f.write(" ".join(sys.argv) + "\n")
+        writer.setup_writers(args.log_dir or out_dir, tensorboard=not args.no_tensorboard)
+
+    config = load_config(args.config)
+    print_config(config)
+
+    from npcd_tpu.utils.builders import build_dataset, build_pointnerf
+
+    dataset = build_dataset(config)
+    model = build_pointnerf(config)
+    params = model.init_params(jax.random.PRNGKey(args.seed))
+    params = load_weights_only(args.weights, params)
+    logging.info(f"Loaded weights from {args.weights}")
+
+    evaluation = PointNeRFEvaluation(out_dir=out_dir, eval_batch_size=args.eval_batch_size)
+    evaluation(
+        dataset,
+        model,
+        params,
+        samples=args.num_samples,
+        qualitatives=args.num_qualitatives,
+        resolution=model.opts.default_resolution,
+    )
+    if out_dir:
+        writer.close_writers()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output", help="Path to folder for output data.")
+    parser.add_argument("--config", help="Path to config file.", required=True)
+    parser.add_argument("--weights", help="Path to weights of the model.", required=True)
+    parser.add_argument("--seed", type=int, default=42, help="Random seed. Default: 42.")
+    parser.add_argument("--eval_batch_size", type=int, default=1,
+                        help="Views per render batch; runtime measurement requires 1.")
+    parser.add_argument("--eval_name", type=str, help="Name of the evaluation. Optional.")
+    parser.add_argument("--finished_iterations", type=int,
+                        help="Training iterations of the model (logging only).")
+    parser.add_argument("--num_samples", type=int,
+                        help="Number of objects to evaluate. Default: all.")
+    parser.add_argument("--samples", type=int, nargs="*",
+                        help="Specific sample indices to evaluate.")
+    parser.add_argument("--num_qualitatives", type=int, default=10,
+                        help="Number of qualitative renders to save.")
+    parser.add_argument("--qualitatives", type=int, nargs="*",
+                        help="Specific qualitative indices.")
+    parser.add_argument("--log_dir", help="Folder for tensorboard logs. Default: output dir.")
+    parser.add_argument("--no_tensorboard", action="store_true")
+    parser.add_argument("--wandb", action="store_true",
+                        help="Accepted for reference-CLI compatibility (wandb is not bundled).")
+    parser.add_argument("--exp_id", type=str)
+    parser.add_argument("--comment", type=str)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force JAX platform (e.g. cpu, tpu).")
+    eval(parser.parse_args())

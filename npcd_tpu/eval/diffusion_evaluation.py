@@ -43,8 +43,11 @@ class DiffusionEvaluation:
         resolution: int = 128,
         poses: Optional[np.ndarray] = None,
         intrinsics: Optional[np.ndarray] = None,
+        max_poses: Optional[int] = None,
         verbose: bool = True,
     ):
+        import os.path as _osp
+
         self.out_dir = out_dir
         self.num_samples = num_samples
         self.generate_batch_size = generate_batch_size
@@ -59,8 +62,25 @@ class DiffusionEvaluation:
         )
         self.poses = np.asarray(self.poses, np.float32)
         self.intrinsics = np.asarray(self.intrinsics, np.float32)
+        if max_poses is not None:  # testing/debug extension; parity uses all
+            self.poses = self.poses[:max_poses]
+            self.intrinsics = self.intrinsics[:max_poses]
 
+        if isinstance(feature_extractor, str):
+            # "random_projection:<dim>" — deterministic test-only extractor
+            kind, _, dim = feature_extractor.partition(":")
+            assert kind == "random_projection", feature_extractor
+            d = int(dim or 8)
+            proj = np.random.default_rng(0).normal(
+                size=(resolution * resolution * 3, d)
+            ).astype(np.float32)
+            feature_extractor = lambda imgs: imgs.reshape(len(imgs), -1) @ proj
         if feature_extractor is None:
+            if not _osp.isfile(inception_path):
+                raise FileNotFoundError(
+                    f"Inception TorchScript graph not found at {inception_path!r}; "
+                    "download it (see reference README) or pass feature_extractor."
+                )
             feature_extractor = TorchScriptInceptionExtractor(inception_path)
         self.feature_extractor = feature_extractor
 

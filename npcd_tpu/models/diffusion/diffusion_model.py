@@ -48,6 +48,7 @@ class DiffusionModel:
         heads: int = 16,
         dtype: jnp.dtype = jnp.float32,
         attn_impl: str = "auto",
+        remat: bool = False,
     ):
         self.coords_dim = coords_dim
         self.feats_dim = feats_dim
@@ -60,6 +61,7 @@ class DiffusionModel:
             heads=heads,
             dtype=dtype,
             attn_impl=attn_impl,
+            remat=remat,
         )
         self.process = GaussianDiffusion()
 

@@ -161,6 +161,7 @@ class NPCDTransformer(nn.Module):
     init_scale: float = 0.25
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
 
     @nn.compact
     def __call__(self, coords: jnp.ndarray, feats: jnp.ndarray, t: jnp.ndarray):
@@ -189,8 +190,9 @@ class NPCDTransformer(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(h)
         h = h.astype(self.dtype)
+        block_cls = nn.remat(ResidualAttentionBlock) if self.remat else ResidualAttentionBlock
         for i in range(self.layers):
-            h = ResidualAttentionBlock(
+            h = block_cls(
                 width=self.width,
                 heads=self.heads,
                 init_scale=block_init_scale,

@@ -59,3 +59,23 @@ class NPCD:
         if self.diffusion is not None:
             params["diffusion"] = self.diffusion.init(k2)
         return params
+
+    @classmethod
+    def from_config(
+        cls,
+        config: Dict[str, Any],
+        pointnerf_only: bool = False,
+        dtype: jnp.dtype = jnp.float32,
+        remat: bool = False,
+    ) -> "NPCD":
+        """Build from a (reference-schema) config dict, honoring the optional
+        pointnerf_options / render_config extension sections."""
+        from ..utils.builders import build_diffusion_model, build_pointnerf
+
+        self = cls.__new__(cls)
+        self.pointnerf = build_pointnerf(config)
+        self.pointnerf_only = pointnerf_only
+        self.diffusion = None
+        if not pointnerf_only:
+            self.diffusion = build_diffusion_model(config, dtype=dtype, remat=remat)
+        return self
