@@ -91,7 +91,9 @@ def bench_render_rays(preset: str) -> float:
     from npcd_tpu.utils.config import pointnerf_default_options
 
     if preset == "full":
-        res, views, num_points, chunk, iters = 128, 8, 512, 4096, 5
+        # memory: pts/chunk = views * chunk * max_shading_pts; keep the
+        # pair-MLP activations (~pts*8*256 f32) within a few GB of HBM
+        res, views, num_points, chunk, iters = 128, 2, 512, 2048, 5
         opts = pointnerf_default_options()
     else:
         res, views, num_points, chunk, iters = 32, 2, 64, 1024, 2
@@ -139,8 +141,12 @@ def main():
     if preset is None:
         preset = "full" if jax.default_backend() == "tpu" else "tiny"
 
+    import sys
+
     steps_per_sec = bench_denoiser_steps(preset)
+    print(f"denoiser steps/s: {steps_per_sec:.4f}", file=sys.stderr)
     rays_per_sec = bench_render_rays(preset)
+    print(f"render rays/s: {rays_per_sec:.1f}", file=sys.stderr)
 
     result = {
         "metric": "denoiser_steps_per_sec",

@@ -91,19 +91,35 @@ class SRNTrain(Dataset):
             **kwargs,
         )
 
-    def _init_samples(self, sample_list, views_per_sample=50, image_size=128, num_points=512):
+    def _init_samples(self, sample_list, views_per_sample=50, image_size=128,
+                      num_points=512, native_decode=False):
         assert 50 % views_per_sample == 0
         self.image_size = image_size
         self.num_points = num_points
         view_indices = list(range(50))
 
+        decode = None
+        if native_decode:
+            # C++ libpng decode path (npcd_tpu/runtime). Its bilinear resize
+            # differs slightly from PIL's filter, so it is opt-in: GT-parity
+            # evals should keep the PIL path the reference uses.
+            from .. import runtime
+
+            if runtime.available():
+                decode = lambda paths: runtime.decode_png_batch(paths, image_size)
+
         def load_object(entry):
             c, m, i = entry
             path = f"{self.root}/{c}/{m}"
             pc = _load_pointcloud(path, num_points)
-            images = np.stack(
-                [_load_image(path, v, image_size) for v in view_indices]
-            )  # [50, H, W, 3]
+            if decode is not None:
+                images = decode(
+                    [f"{path}/rgb/{v:06d}.png" for v in view_indices]
+                )  # [50, H, W, 3]
+            else:
+                images = np.stack(
+                    [_load_image(path, v, image_size) for v in view_indices]
+                )
             cams = [_load_camera(path, v, image_size) for v in view_indices]
             extr = np.stack([e for e, _ in cams])
             intr = np.stack([k for _, k in cams])
