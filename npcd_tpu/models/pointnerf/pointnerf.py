@@ -156,6 +156,24 @@ class PointNeRF:
             ray_end = jnp.take_along_axis(ray_end, sel_idx, axis=1)
             r_dim = select_rays
 
+        ray_valid = jnp.any(pts_mask, axis=-1)  # [I, R] (original ray order)
+
+        # ---- eval-time valid-ray packing ----------------------------------
+        # Sort rays so valid ones pack into the leading chunks; chunks with
+        # no valid ray are skipped with real control flow (lax.cond inside
+        # the sequential chunk map). On SRN-style scenes most rays miss the
+        # object, so this cuts eval render work by the invalid fraction.
+        inv_order = None
+        if not train:
+            order = jnp.argsort(~ray_valid, axis=1, stable=True)  # [I, R]
+            take_ord = lambda a: jnp.take_along_axis(
+                a, order.reshape(i_dim, r_dim, *([1] * (a.ndim - 2))), axis=1
+            )
+            depths_c, pts_mask = take_ord(depths_c), take_ord(pts_mask)
+            rays_o, rays_d = take_ord(rays_o), take_ord(rays_d)
+            ray_end = jnp.take_along_axis(ray_end, order, axis=1)
+            inv_order = jnp.argsort(order, axis=1)
+
         # ---- chunked field pass -------------------------------------------
         num_rays = r_dim
         pad = (-num_rays) % ray_chunk
@@ -197,15 +215,36 @@ class PointNeRF:
             return ray_march(sigma, d_fixed, rgb, o.renderer.white_back)
 
         if train:
-            chunk_fn = jax.checkpoint(chunk_fn)
-        outs = jax.lax.map(chunk_fn, xs)  # dict of [C, I, ck, ...]
+            body_fn = jax.checkpoint(chunk_fn)
+        else:
+            def body_fn(chunk):
+                d_c, msk, r_o, r_d, r_e = chunk
+
+                def dead(_):
+                    bg = 1.0 if o.renderer.white_back else 0.0
+                    return {
+                        "mask": jnp.zeros((i_dim, ray_chunk), jnp.float32),
+                        # matches ray_march on an all-invalid chunk: composite
+                        # is nan -> inf -> clipped to the chunk's max depth
+                        "depth": jnp.full((i_dim, ray_chunk), jnp.max(r_e)),
+                        "channels": jnp.full((i_dim, ray_chunk, 3), bg, jnp.float32),
+                    }
+
+                return jax.lax.cond(jnp.any(msk), lambda _: chunk_fn(chunk), dead, None)
+
+        outs = jax.lax.map(body_fn, xs)  # dict of [C, I, ck, ...]
 
         def from_chunks(a):
             a = jnp.moveaxis(a, 0, 1).reshape(i_dim, n_chunks * ray_chunk, *a.shape[3:])
-            return a[:, :num_rays]
+            a = a[:, :num_rays]
+            if inv_order is not None:
+                a = jnp.take_along_axis(
+                    a, inv_order.reshape(i_dim, num_rays, *([1] * (a.ndim - 2))), axis=1
+                )
+            return a
 
         out = {k: from_chunks(v) for k, v in outs.items()}
-        out["ray_valid"] = jnp.any(pts_mask[:, :num_rays], axis=-1)
+        out["ray_valid"] = ray_valid
         if sel_idx is not None:
             out["sel_idx"] = sel_idx
         return out

@@ -24,11 +24,20 @@ import jax.numpy as jnp
 from ..utils.config import VoxelGridOptions
 
 
+def _knn_use_pallas(points: jnp.ndarray, k: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and points.shape[0] >= k
+        and points.ndim == 2
+    )
+
+
 def dense_knn(
     x: jnp.ndarray,
     points: jnp.ndarray,
     k: int,
     radius: float,
+    impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest neighbors of each query within `radius`.
 
@@ -37,6 +46,7 @@ def dense_knn(
       points: [P, 3] neighbor candidates (one object's point cloud).
       k:      number of neighbors.
       radius: absolute-space cutoff; neighbors beyond it are masked out.
+      impl:   'auto' (pallas kernel on TPU, XLA elsewhere), 'pallas', 'xla'.
 
     Returns:
       idx:  [N, k] int32 neighbor indices into `points` (valid entries only
@@ -45,7 +55,16 @@ def dense_knn(
     """
     x = jax.lax.stop_gradient(x)
     points = jax.lax.stop_gradient(points)
-    # Squared distances via MXU: |x|^2 - 2 x.p + |p|^2. Keep in f32.
+
+    if impl == "auto":
+        impl = "pallas" if _knn_use_pallas(points, k) else "xla"
+    if impl == "pallas":
+        from .pallas.knn import pallas_knn
+
+        idx, d2k = pallas_knn(x, points, k)
+        return idx, d2k < radius * radius
+
+    # XLA path: squared distances via MXU, sort-based top_k.
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [N, 1]
     p2 = jnp.sum(points * points, axis=-1)  # [P]
     xp = jnp.dot(x, points.T, preferred_element_type=jnp.float32)  # [N, P]

@@ -1,0 +1,97 @@
+"""Fused kNN Pallas kernel.
+
+TPU-native replacement for the reference's torch_knnquery CUDA voxel-grid
+query (SURVEY.md §2.9): for each query sample, the k nearest of the object's
+P neural points within an absolute radius. The voxel occupancy pre-filter
+lives upstream (npcd_tpu/ops/knn.py VoxelOccupancy); this kernel fuses the
+distance computation and top-k so that
+
+  * the [N, P] squared-distance matrix never round-trips through HBM
+    (the XLA path materializes it and runs a sort-based top_k), and
+  * the top-k is k iterations of a VPU min-reduction instead of a sort.
+
+Layout: grid over query blocks; the point cloud (P <= a few thousand) lives
+in VMEM for every program. Distances via one MXU matmul on coordinate
+blocks padded to the 128-lane tile.
+
+Tie-breaking matches lax.top_k: equal distances resolve to the lower point
+index, and outputs are ordered by ascending distance.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _knn_kernel(x_ref, p_ref, idx_ref, d2_ref, *, k: int, num_points: int):
+    x = x_ref[...]  # [BLK, 8]  (3 coords zero-padded to 8)
+    pts = p_ref[...]  # [P_pad, 8]
+
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [BLK, 1]
+    p2 = jnp.sum(pts * pts, axis=-1)  # [P_pad]
+    xp = jax.lax.dot_general(
+        x, pts,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BLK, P_pad]
+    d2 = x2 - 2.0 * xp + p2[None, :]
+
+    p_pad = d2.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    big = jnp.float32(3.4e38)
+    d2 = jnp.where(col < num_points, d2, big)
+
+    # k rounds of (min, argmin-with-lowest-index, mask-out)
+    for j in range(k):
+        m = jnp.min(d2, axis=-1, keepdims=True)  # [BLK, 1]
+        is_min = d2 <= m
+        arg = jnp.min(jnp.where(is_min, col, p_pad), axis=-1)  # lowest index
+        idx_ref[:, j] = arg
+        d2_ref[:, j] = m[:, 0]
+        d2 = jnp.where(col == arg[:, None], big, d2)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def pallas_knn(x: jnp.ndarray, points: jnp.ndarray, k: int):
+    """x: [N, 3] queries, points: [P, 3] -> (idx [N, k] int32, d2 [N, k]).
+
+    Returns squared distances; radius masking is applied by the caller.
+    """
+    n, _ = x.shape
+    p = points.shape[0]
+    blk = 512
+    n_pad = _round_up(n, blk)
+    p_pad = _round_up(p, _LANE)
+
+    xp8 = jnp.zeros((n_pad, 8), jnp.float32).at[:n, :3].set(x.astype(jnp.float32))
+    pp8 = jnp.zeros((p_pad, 8), jnp.float32).at[:p, :3].set(points.astype(jnp.float32))
+
+    k_pad = _round_up(k, _LANE)  # output lane alignment; trimmed below
+
+    idx, d2 = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, num_points=p),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+        ),
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(xp8, pp8)
+    return idx[:n, :k], d2[:n, :k]

@@ -104,6 +104,7 @@ class PointNeRFTraining:
         mesh=None,
         print_interval: int = 100,
         log_scalars_interval: int = 100,
+        log_interval: int = 5000,
         save_checkpoint_interval_min: float = 20.0,
         verbose: bool = True,
         **_,
@@ -121,6 +122,7 @@ class PointNeRFTraining:
         self.batch_size = batch_size
         self.print_interval = print_interval
         self.log_scalars_interval = log_scalars_interval
+        self.log_interval = log_interval
         self.save_checkpoint_interval_min = save_checkpoint_interval_min
         self.verbose = verbose
         self.mesh = mesh
@@ -198,10 +200,43 @@ class PointNeRFTraining:
                 if it % self.log_scalars_interval == 0:
                     writer.put_scalar_dict("pointnerf_train", jax.device_get(metrics), it)
                     writer.write_out_storage()
+                if self.log_interval and it % self.log_interval == 0:
+                    self._log_qualitative(batch, it)
                 if (time.time() - last_ckpt_time) / 60 > self.save_checkpoint_interval_min:
                     self.saver.save(jax.device_get(self.state), it)
                     last_ckpt_time = time.time()
 
+        return self._finalize(it)
+
+    def _log_qualitative(self, batch, it: int):
+        """Eval-mode full re-render of the first object's first view + PSNR
+        (reference pointnerf_training.py:232-300) and feature statistics."""
+        import jax.numpy as jnp
+
+        from ..utils.util import psnr
+
+        try:
+            obj_idx = jnp.asarray(batch["obj_idx"][:1])
+            intr = jnp.asarray(batch["intrinsics"][:1, :1])
+            extr = jnp.asarray(batch["extrinsics"][:1, :1])
+            pred, aux = self.model.forward(
+                self.state.params, obj_idx, intr, extr, train=False
+            )
+            res = self.model.opts.default_resolution
+            img = np.clip(np.asarray(pred["channels"][0, 0]).reshape(res, res, 3), 0, 1)
+            gt = np.asarray(batch["images"][0, 0]).reshape(res, res, 3)
+            writer.put_scalar("pointnerf_train/full_render_psnr", psnr(img, gt), it)
+            writer.put_image("pointnerf_train/render", img, it)
+            writer.put_image("pointnerf_train/gt", gt, it)
+            feats_mean = np.asarray(aux["feats_mean"])
+            feats_std = np.asarray(aux["feats_std"])
+            writer.put_scalar("pointnerf_train/feats_mean_abs", float(np.abs(feats_mean).mean()), it)
+            writer.put_scalar("pointnerf_train/feats_std_mean", float(feats_std.mean()), it)
+            writer.write_out_storage()
+        except Exception as e:  # logging must never kill training
+            logging.warning(f"qualitative logging failed at iter {it}: {e}")
+
+    def _finalize(self, it: int):
         self.saver.save(jax.device_get(self.state), it)
         import os
 

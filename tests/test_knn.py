@@ -88,3 +88,38 @@ def test_compact_valid_samples():
     d2, m2 = compact_valid_samples(valid2, depths, 3)
     np.testing.assert_array_equal(np.asarray(m2), [[True, False, False]])
     assert np.asarray(d2)[0, 0] == 1.0
+
+
+def test_pallas_knn_interpret_matches_xla():
+    """Pallas kNN kernel vs the XLA path in interpreter mode on CPU."""
+    import pytest
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (700, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 1, (130, 3)).astype(np.float32))
+    i_ref, m_ref = dense_knn(x, pts, 8, 0.5, impl="xla")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            i_p, m_p = dense_knn(x, pts, 8, 0.5, impl="pallas")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_ref))
+
+
+def test_pallas_knn_tie_breaking_interpret():
+    """Duplicate points (exact distance ties) resolve to the lower index,
+    matching lax.top_k."""
+    import pytest
+    from jax.experimental.pallas import tpu as pltpu
+
+    pts = jnp.asarray(np.array([[0.0, 0, 0]] * 4 + [[1.0, 0, 0]] * 3, np.float32))
+    x = jnp.asarray(np.array([[0.1, 0, 0]], np.float32))
+    i_ref, m_ref = dense_knn(x, pts, 5, 2.0, impl="xla")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            i_p, m_p = dense_knn(x, pts, 5, 2.0, impl="pallas")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
