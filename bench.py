@@ -80,6 +80,70 @@ def bench_denoiser_steps(preset: str) -> float:
     return iters / dt
 
 
+def bench_stage1_steps(preset: str):
+    """Stage-1 autodecoder training throughput (reference config: batch 8
+    objects x 50 views, 112 presampled rays -> 64 selected/view)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from npcd_tpu.data.synthetic import random_cameras
+    from npcd_tpu.losses import PointNeRFLossWeights
+    from npcd_tpu.models.pointnerf import PointNeRF, PointNeRFRenderConfig
+    from npcd_tpu.train.pointnerf_training import (
+        PointNeRFTrainState,
+        make_pointnerf_optimizer,
+        make_pointnerf_train_step,
+    )
+    from npcd_tpu.utils.config import pointnerf_default_options
+
+    if preset == "full":
+        b, v, res, p, n_obj, iters = 8, 50, 128, 512, 2347, 10
+        opts = pointnerf_default_options(
+            aggregator=dataclasses.replace(
+                pointnerf_default_options().aggregator, posenc_method="recurrence"
+            )
+        )
+        cfg = PointNeRFRenderConfig(
+            train_rays=64, train_instance_chunk=50, compute_dtype=jnp.bfloat16
+        )
+    else:
+        b, v, res, p, n_obj, iters = 2, 2, 16, 32, 8, 3
+        opts = pointnerf_default_options(num_points=p, feat_dim=32)
+        opts = dataclasses.replace(
+            opts,
+            renderer=dataclasses.replace(opts.renderer, depth_resolution=24, ray_subsamples=32),
+            aggregator=dataclasses.replace(opts.aggregator, max_shading_pts=8),
+        )
+        cfg = PointNeRFRenderConfig(train_rays=8, train_instance_chunk=4)
+
+    pn = PointNeRF(n_obj=n_obj, feats_dim=32, num_points=p, opts=opts, render_config=cfg)
+    params = pn.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (n_obj, p, 3), minval=-0.4, maxval=0.4)
+    params = pn.set_all_coords(params, coords)
+    tx = make_pointnerf_optimizer(1e-3)
+    state = PointNeRFTrainState(params=params, opt_state=tx.init(params),
+                                step=jnp.zeros((), jnp.int32))
+    step = make_pointnerf_train_step(pn, tx, PointNeRFLossWeights(1.0, 1e-7, 3.5e-7))
+
+    extr, intr = random_cameras(v, res, seed=0)
+    feed = {
+        "obj_idx": jnp.arange(b),
+        "images": jnp.ones((b, v, res * res, 3)) * 0.5,
+        "intrinsics": jnp.tile(jnp.asarray(intr)[None], (b, 1, 1, 1)),
+        "extrinsics": jnp.tile(jnp.asarray(extr)[None], (b, 1, 1, 1)),
+    }
+    state, _ = step(state, feed, jax.random.PRNGKey(2))
+    state = jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _ = step(state, feed, jax.random.fold_in(jax.random.PRNGKey(3), i))
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, b * v * cfg.train_rays / dt
+
+
 def bench_render_rays(preset: str) -> float:
     import dataclasses
 
@@ -92,9 +156,13 @@ def bench_render_rays(preset: str) -> float:
 
     if preset == "full":
         # memory: pts/chunk = views * chunk * max_shading_pts; keep the
-        # pair-MLP activations (~pts*8*256 f32) within a few GB of HBM
+        # pair-MLP activations (~pts*8*256) within a few GB of HBM
         res, views, num_points, chunk, iters = 128, 2, 512, 2048, 5
-        opts = pointnerf_default_options()
+        opts = pointnerf_default_options(
+            aggregator=dataclasses.replace(
+                pointnerf_default_options().aggregator, posenc_method="recurrence"
+            )
+        )
     else:
         res, views, num_points, chunk, iters = 32, 2, 64, 1024, 2
         opts = pointnerf_default_options(num_points=num_points, feat_dim=32)
@@ -106,6 +174,8 @@ def bench_render_rays(preset: str) -> float:
 
     pn = PointNeRF(
         n_obj=1, feats_dim=32, num_points=num_points, opts=opts,
+        # eval render keeps f32 compute: measured faster than bf16 at these
+        # chunk shapes (cast overhead dominates) and parity-safe
         render_config=PointNeRFRenderConfig(eval_ray_chunk=chunk),
     )
     params = pn.init_params(jax.random.PRNGKey(0))
@@ -147,6 +217,8 @@ def main():
     print(f"denoiser steps/s: {steps_per_sec:.4f}", file=sys.stderr)
     rays_per_sec = bench_render_rays(preset)
     print(f"render rays/s: {rays_per_sec:.1f}", file=sys.stderr)
+    s1_steps, s1_rays = bench_stage1_steps(preset)
+    print(f"stage1 steps/s: {s1_steps:.3f} train rays/s: {s1_rays:.0f}", file=sys.stderr)
 
     result = {
         "metric": "denoiser_steps_per_sec",
@@ -155,6 +227,8 @@ def main():
         "vs_baseline": round(steps_per_sec / A100_EST_STEPS_PER_SEC, 4),
         "extra": {
             "render_rays_per_sec": round(rays_per_sec, 1),
+            "stage1_steps_per_sec": round(s1_steps, 3),
+            "stage1_train_rays_per_sec": round(s1_rays, 1),
             "preset": preset,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

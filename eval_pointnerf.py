@@ -49,6 +49,7 @@ def eval(args):
         model,
         params,
         samples=args.num_samples,
+        sample_indices=args.samples,
         qualitatives=args.num_qualitatives,
         resolution=model.opts.default_resolution,
     )

@@ -43,6 +43,7 @@ class PointNeRFEvaluation:
         model,
         params,
         samples: Optional[int] = None,
+        sample_indices: Optional[list] = None,
         qualitatives: int = 10,
         resolution: int = 128,
     ) -> pd.DataFrame:
@@ -53,11 +54,14 @@ class PointNeRFEvaluation:
                 logging.info(f"Evaluation results exist at {results_path}; skipping.")
                 return pd.read_pickle(results_path)
 
-        indices = list(range(len(dataset)))
-        if samples is not None and samples < len(indices):
-            indices = list(
-                np.linspace(0, len(indices) - 1, samples).astype(int)
-            )
+        if sample_indices is not None:
+            indices = list(sample_indices)
+        else:
+            indices = list(range(len(dataset)))
+            if samples is not None and samples < len(indices):
+                indices = list(
+                    np.linspace(0, len(indices) - 1, samples).astype(int)
+                )
 
         @jax.jit
         def render_views(p, obj_idx, intr, extr):
@@ -108,6 +112,13 @@ class PointNeRFEvaluation:
         summary = {"psnr": float(df["psnr"].mean())}
         if times:
             summary["time_per_forward_s"] = float(np.mean(times))
+            # TPU analogue of the reference's peak-GPU-memory report
+            # (pointnerf_evaluation.py:222-232)
+            from ..utils.profiling import device_memory_stats
+
+            mem = device_memory_stats()
+            if "peak_bytes_in_use" in mem:
+                summary["peak_device_mem_mib"] = mem["peak_bytes_in_use"] / 2**20
         logging.info(f"PointNeRF evaluation: {summary}")
 
         if self.out_dir is not None:

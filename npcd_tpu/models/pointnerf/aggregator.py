@@ -92,7 +92,7 @@ def aggregate_features(
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
     w = jnp.where(w_sum > 0, w / w_sum, 0.0)
 
-    x_enc = positional_encoding(x_rel, opts.n_freqs, opts.freq_mult)
+    x_enc = positional_encoding(x_rel, opts.n_freqs, opts.freq_mult, method=opts.posenc_method)
     field_in = jnp.concatenate([nb_feat, x_enc], axis=-1)  # [B, N, k, F + enc]
     local_feat = apply_mlp(
         params["local_field"], field_in, act=opts.activation,

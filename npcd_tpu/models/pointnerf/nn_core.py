@@ -68,23 +68,44 @@ def apply_mlp(
         w, b = layer["w"], layer["b"]
         if compute_dtype is not None:
             w, b = w.astype(compute_dtype), b.astype(compute_dtype)
-        h = jnp.dot(h, w, preferred_element_type=h.dtype) + b
+        # f32 accumulation on the MXU regardless of the storage dtype
+        h = (
+            jnp.dot(h, w, preferred_element_type=jnp.float32).astype(w.dtype) + b
+        )
         if not (final_linear and i == n - 1):
             h = act_fn(h)
     return h
 
 
 def positional_encoding(
-    x: jnp.ndarray, n_freqs: int, freq_mult: float = 1.0
+    x: jnp.ndarray, n_freqs: int, freq_mult: float = 1.0, method: str = "recurrence"
 ) -> jnp.ndarray:
     """[..., d] -> [..., d*(1+2*n_freqs)].
 
     Per input dim: [x, sin(2^0 pi x) .. sin(2^{n-1} pi x),
     cos(2^0 pi x) .. cos(2^{n-1} pi x)], matching the reference layout
-    (sin block then cos block, flattened per input dim)."""
-    freq_bands = freq_mult * (2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)) * jnp.pi
-    spectrum = x[..., None] * freq_bands  # [..., d, n]
-    enc = jnp.concatenate([jnp.sin(spectrum), jnp.cos(spectrum)], axis=-1)  # [..., d, 2n]
+    (sin block then cos block, flattened per input dim).
+
+    method='recurrence' evaluates only sin/cos of the base frequency and
+    derives the octaves with the exact double-angle identities
+    (s' = 2sc, c' = 2c^2 - 1) — 2 transcendentals per input element instead
+    of 2*n_freqs, a large VPU saving in the aggregation hot loop. Deviation
+    from direct evaluation is at the f32 rounding level (~1e-5 after 10
+    doublings). method='direct' matches the reference op-for-op.
+    """
+    if method == "direct":
+        freq_bands = freq_mult * (2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)) * jnp.pi
+        spectrum = x[..., None] * freq_bands  # [..., d, n]
+        enc = jnp.concatenate([jnp.sin(spectrum), jnp.cos(spectrum)], axis=-1)
+    else:
+        base = (freq_mult * jnp.pi) * x.astype(jnp.float32)
+        s, c = jnp.sin(base), jnp.cos(base)
+        sins, coss = [s], [c]
+        for _ in range(n_freqs - 1):
+            s, c = 2.0 * s * c, 2.0 * c * c - 1.0
+            sins.append(s)
+            coss.append(c)
+        enc = jnp.stack(sins + coss, axis=-1).astype(x.dtype)  # [..., d, 2n]
     enc = enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * n_freqs)
     return jnp.concatenate([x, enc], axis=-1)
 

@@ -42,9 +42,10 @@ from .renderer import fix_shading_depths, ray_march, sample_depths
 class PointNeRFRenderConfig:
     """Static render-time knobs (hashable -> usable as jit static arg)."""
 
-    train_rays: int = 64        # fixed count of valid rays kept per view
-    train_ray_chunk: int = 256  # rays per remat chunk in training
-    eval_ray_chunk: int = 4096  # rays per chunk in eval
+    train_rays: int = 64           # fixed count of valid rays kept per view
+    train_instance_chunk: int = 50  # view-instances per remat chunk in training
+    train_ray_chunk: int = 256      # kept for bwd-compat; training chunks instances
+    eval_ray_chunk: int = 4096      # rays per chunk in eval
     compute_dtype: Any = jnp.float32
 
 
@@ -136,6 +137,7 @@ class PointNeRF:
         depths = sample_depths(
             ray_start, ray_end, o.renderer.depth_resolution,
             rng_jitter if train else None,
+            disparity=o.renderer.disparity_space_sampling,
         )  # [I, R, S]
 
         x = rays_o[:, :, None, :] + depths[..., None] * rays_d[:, :, None, :]
@@ -175,37 +177,21 @@ class PointNeRF:
             inv_order = jnp.argsort(order, axis=1)
 
         # ---- chunked field pass -------------------------------------------
-        num_rays = r_dim
-        pad = (-num_rays) % ray_chunk
-        if pad:
-            padf = lambda a: jnp.concatenate(
-                [a, jnp.zeros((i_dim, pad) + a.shape[2:], a.dtype)], axis=1
-            )
-            depths_c, rays_o, rays_d, ray_end = map(
-                padf, (depths_c, rays_o, rays_d, ray_end)
-            )
-            pts_mask = jnp.concatenate(
-                [pts_mask, jnp.zeros((i_dim, pad, m), bool)], axis=1
-            )
-        n_chunks = (num_rays + pad) // ray_chunk
-
-        def to_chunks(a):
-            return jnp.moveaxis(
-                a.reshape(i_dim, n_chunks, ray_chunk, *a.shape[2:]), 1, 0
-            )
-
-        xs = tuple(map(to_chunks, (depths_c, pts_mask, rays_o, rays_d, ray_end)))
-
-        def chunk_fn(chunk):
-            d_c, msk, r_o, r_d, r_e = chunk  # [I, ck, ...]
+        # The expensive part (kNN + per-pair MLP + heads + march) runs in
+        # bounded-memory chunks under lax.map. The chunk axis depends on the
+        # workload shape: eval has few instances and many rays (chunk rays);
+        # training has many instances (B*V) and few selected rays (chunk
+        # instances, rematerialized for the backward pass).
+        def field_chunk(d_c, msk, r_o, r_d, r_e, kpp, kpf):
+            n_i, n_r = d_c.shape[:2]
             pts = r_o[:, :, None, :] + d_c[..., None] * r_d[:, :, None, :]
             feat, valid_pt = aggregate_features(
                 params["aggregator"], o.aggregator, o.knn_radius,
-                pts.reshape(i_dim, -1, 3), msk.reshape(i_dim, -1),
-                kp_pos, kp_feat, compute_dtype=self.cfg.compute_dtype,
+                pts.reshape(n_i, -1, 3), msk.reshape(n_i, -1),
+                kpp, kpf, compute_dtype=self.cfg.compute_dtype,
             )
-            feat = feat.reshape(i_dim, ray_chunk, m, -1)
-            valid_pt = valid_pt.reshape(i_dim, ray_chunk, m)
+            feat = feat.reshape(n_i, n_r, m, -1)
+            valid_pt = valid_pt.reshape(n_i, n_r, m)
             ray_dir = r_d if o.field.use_dir else None
             sigma, rgb = field_heads(
                 params["field"], o.field, feat, valid_pt, ray_dir,
@@ -215,8 +201,46 @@ class PointNeRF:
             return ray_march(sigma, d_fixed, rgb, o.renderer.white_back)
 
         if train:
-            body_fn = jax.checkpoint(chunk_fn)
+            ic = min(self.cfg.train_instance_chunk, i_dim)
+            pad_i = (-i_dim) % ic
+            padi = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad_i,) + a.shape[1:], a.dtype)], axis=0
+            ) if pad_i else a
+            arrays = tuple(
+                padi(a) for a in (depths_c, pts_mask, rays_o, rays_d, ray_end,
+                                  kp_pos, kp_feat)
+            )
+            n_chunks = (i_dim + pad_i) // ic
+            xs = tuple(a.reshape(n_chunks, ic, *a.shape[1:]) for a in arrays)
+
+            body_fn = jax.checkpoint(lambda c: field_chunk(*c))
+            outs = jax.lax.map(body_fn, xs)  # dict of [C, ic, R, ...]
+            out = {
+                k: v.reshape(n_chunks * ic, *v.shape[2:])[:i_dim]
+                for k, v in outs.items()
+            }
         else:
+            num_rays = r_dim
+            pad = (-num_rays) % ray_chunk
+            if pad:
+                padf = lambda a: jnp.concatenate(
+                    [a, jnp.zeros((i_dim, pad) + a.shape[2:], a.dtype)], axis=1
+                )
+                depths_c, rays_o, rays_d, ray_end = map(
+                    padf, (depths_c, rays_o, rays_d, ray_end)
+                )
+                pts_mask = jnp.concatenate(
+                    [pts_mask, jnp.zeros((i_dim, pad, m), bool)], axis=1
+                )
+            n_chunks = (num_rays + pad) // ray_chunk
+
+            def to_chunks(a):
+                return jnp.moveaxis(
+                    a.reshape(i_dim, n_chunks, ray_chunk, *a.shape[2:]), 1, 0
+                )
+
+            xs = tuple(map(to_chunks, (depths_c, pts_mask, rays_o, rays_d, ray_end)))
+
             def body_fn(chunk):
                 d_c, msk, r_o, r_d, r_e = chunk
 
@@ -230,20 +254,30 @@ class PointNeRF:
                         "channels": jnp.full((i_dim, ray_chunk, 3), bg, jnp.float32),
                     }
 
-                return jax.lax.cond(jnp.any(msk), lambda _: chunk_fn(chunk), dead, None)
-
-        outs = jax.lax.map(body_fn, xs)  # dict of [C, I, ck, ...]
-
-        def from_chunks(a):
-            a = jnp.moveaxis(a, 0, 1).reshape(i_dim, n_chunks * ray_chunk, *a.shape[3:])
-            a = a[:, :num_rays]
-            if inv_order is not None:
-                a = jnp.take_along_axis(
-                    a, inv_order.reshape(i_dim, num_rays, *([1] * (a.ndim - 2))), axis=1
+                return jax.lax.cond(
+                    jnp.any(msk),
+                    lambda _: field_chunk(d_c, msk, r_o, r_d, r_e, kp_pos, kp_feat),
+                    dead,
+                    None,
                 )
-            return a
 
-        out = {k: from_chunks(v) for k, v in outs.items()}
+            outs = jax.lax.map(body_fn, xs)  # dict of [C, I, ck, ...]
+
+            def from_chunks(a):
+                a = jnp.moveaxis(a, 0, 1).reshape(
+                    i_dim, n_chunks * ray_chunk, *a.shape[3:]
+                )
+                a = a[:, :num_rays]
+                if inv_order is not None:
+                    a = jnp.take_along_axis(
+                        a,
+                        inv_order.reshape(i_dim, num_rays, *([1] * (a.ndim - 2))),
+                        axis=1,
+                    )
+                return a
+
+            out = {k: from_chunks(v) for k, v in outs.items()}
+
         out["ray_valid"] = ray_valid
         if sel_idx is not None:
             out["sel_idx"] = sel_idx

@@ -28,10 +28,23 @@ def sample_depths(
     ray_end: jnp.ndarray,
     depth_resolution: int,
     rng: Optional[jax.Array] = None,
+    disparity: bool = False,
 ) -> jnp.ndarray:
     """ray_start/ray_end: [...] -> depths [..., S], uniform inclusive
-    linspace; jittered by U[0, delta) per sample when rng is given."""
+    linspace; jittered by U[0, delta) per sample when rng is given.
+    disparity=True samples uniformly in inverse depth instead
+    (reference renderer.py:60-67; off in the SRN config)."""
     steps = jnp.arange(depth_resolution, dtype=jnp.float32) / (depth_resolution - 1)
+    if disparity:
+        t = steps
+        if rng is not None:
+            t = t + jax.random.uniform(rng, ray_start.shape + t.shape[-1:]) / (
+                depth_resolution - 1
+            )
+        depths = 1.0 / (
+            (1.0 / ray_start)[..., None] * (1.0 - t) + (1.0 / ray_end)[..., None] * t
+        )
+        return depths
     depths = ray_start[..., None] + steps * (ray_end - ray_start)[..., None]
     if rng is not None:
         delta = ((ray_end - ray_start) / (depth_resolution - 1))[..., None]

@@ -99,6 +99,10 @@ class AggregatorOptions:
     layers: Tuple[int, ...] = (256, 256, 256, 256)
     activation: str = "leaky_relu"
     layer_norm: bool = False
+    # 'direct' matches the reference op-for-op; 'recurrence' derives the
+    # sin/cos octaves via double-angle identities (~7e-3 max deviation,
+    # large VPU saving) - see nn_core.positional_encoding
+    posenc_method: str = "direct"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,3 +135,13 @@ def test_ray_march_two_semitransparent():
     assert float(out["depth"][0]) == pytest.approx(
         (w1 * d1 + w2 * d2) / (w1 + w2), rel=1e-5
     )
+
+
+def test_posenc_recurrence_matches_direct():
+    from npcd_tpu.models.pointnerf.nn_core import positional_encoding
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (100, 3), minval=-1, maxval=1)
+    direct = positional_encoding(x, 10, method="direct")
+    rec = positional_encoding(x, 10, method="recurrence")
+    assert direct.shape == rec.shape == (100, 63)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(direct), atol=1e-2)
