@@ -70,12 +70,12 @@ def bench_denoiser_steps(preset: str) -> float:
     }
     step = make_diffusion_train_step(model, tx, ema_cfgs, donate=True)
 
-    state, _ = step(state, batch_data, jax.random.PRNGKey(3))  # compile
-    state = jax.block_until_ready(state)
-    t0 = time.perf_counter()
+    state, metrics = step(state, batch_data, jax.random.PRNGKey(3))  # compile
+    float(metrics["loss"])  # scalar readback: the only reliable sync on
+    t0 = time.perf_counter()  # tunneled devices (block_until_ready can lie)
     for i in range(iters):
         state, metrics = step(state, batch_data, jax.random.fold_in(jax.random.PRNGKey(4), i))
-    jax.block_until_ready(state)
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     return iters / dt
 
@@ -134,12 +134,12 @@ def bench_stage1_steps(preset: str):
         "intrinsics": jnp.tile(jnp.asarray(intr)[None], (b, 1, 1, 1)),
         "extrinsics": jnp.tile(jnp.asarray(extr)[None], (b, 1, 1, 1)),
     }
-    state, _ = step(state, feed, jax.random.PRNGKey(2))
-    state = jax.block_until_ready(state)
+    state, metrics = step(state, feed, jax.random.PRNGKey(2))
+    float(metrics["loss"])  # scalar readback (see bench_denoiser_steps)
     t0 = time.perf_counter()
     for i in range(iters):
-        state, _ = step(state, feed, jax.random.fold_in(jax.random.PRNGKey(3), i))
-    jax.block_until_ready(state)
+        state, metrics = step(state, feed, jax.random.fold_in(jax.random.PRNGKey(3), i))
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     return 1.0 / dt, b * v * cfg.train_rays / dt
 
@@ -191,11 +191,14 @@ def bench_render_rays(preset: str) -> float:
     def render(params, coords, feats):
         return pn.render(params, coords, feats, extr, intr, resolution=res)["channels"]
 
-    out = jax.block_until_ready(render(params, coords, feats))  # compile
+    out = render(params, coords, feats)  # compile
+    float(out.sum())  # scalar readback (see bench_denoiser_steps)
+    acc = None
     t0 = time.perf_counter()
     for _ in range(iters):
         out = render(params, coords, feats)
-    jax.block_until_ready(out)
+        acc = out.sum() if acc is None else acc + out.sum()
+    float(acc)
     dt = time.perf_counter() - t0
     return iters * views * res * res / dt
 
