@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.knn import VoxelOccupancy
+from ...ops.knn import VoxelOccupancy, dense_knn
 from ...utils.config import PointNeRFOptions, pointnerf_default_options
 from . import embeddings
 from .aggregator import aggregate_features, compact_valid_samples
@@ -47,6 +47,11 @@ class PointNeRFRenderConfig:
     train_ray_chunk: int = 256      # kept for bwd-compat; training chunks instances
     eval_ray_chunk: int = 4096      # rays per chunk in eval
     compute_dtype: Any = jnp.float32
+    # sample-validity test: 'knn' = nearest neighbor within the absolute
+    # radius (the reference's pure-tensor fallback semantic,
+    # aggregator.py:42-58, one fused kNN pass); 'voxel' = dilated voxel
+    # occupancy window (the CUDA voxel-grid semantic)
+    validity: str = "knn"
 
 
 class PointNeRF:
@@ -113,7 +118,7 @@ class PointNeRF:
         params: Dict[str, Any],
         kp_pos: jnp.ndarray,     # [I, P, 3]
         kp_feat: jnp.ndarray,    # [I, P, F]
-        occ: VoxelOccupancy,     # grids [I, ...]
+        occ: Optional[VoxelOccupancy],  # grids [I, ...] ('voxel' validity only)
         rays_o: jnp.ndarray,     # [I, R, 3]
         rays_d: jnp.ndarray,     # [I, R, 3]
         rng: Optional[jax.Array],
@@ -141,7 +146,16 @@ class PointNeRF:
         )  # [I, R, S]
 
         x = rays_o[:, :, None, :] + depths[..., None] * rays_d[:, :, None, :]
-        valid = occ.query(x.reshape(i_dim, -1, 3)).reshape(depths.shape)
+        if self.cfg.validity == "voxel":
+            valid = occ.query(x.reshape(i_dim, -1, 3)).reshape(depths.shape)
+        else:
+            # nearest-neighbor-in-radius validity via the fused kNN kernel:
+            # cheaper than the occupancy scatter+gather on TPU and exactly
+            # the reference fallback's semantic
+            _, nb1 = jax.vmap(
+                lambda q, p: dense_knn(q, p, 1, o.knn_radius)
+            )(x.reshape(i_dim, -1, 3), jax.lax.stop_gradient(kp_pos))
+            valid = nb1[..., 0].reshape(depths.shape)
         depths_c, pts_mask = compact_valid_samples(valid, depths, m)  # [I, R, M]
 
         sel_idx = None
@@ -324,29 +338,29 @@ class PointNeRF:
             "feats_std": f_std,
         }
 
-        occ_b = VoxelOccupancy.build(coords, o.voxel_grid)
-
         i_dim = b * v
-        rays_o, rays_d = generate_rays(
-            extrinsics.reshape(i_dim, 4, 4), intrinsics.reshape(i_dim, 3, 3), res
-        )  # [I, res^2, 3]
-
         ray_idx = None
+        pixel_idx = None
         if train and o.renderer.ray_subsamples:
             # One shared random pixel subset across all instances
-            # (reference renderer.py:232-238).
-            perm = jax.random.permutation(rng_perm, res * res)[
+            # (reference renderer.py:232-238); only those rays are generated.
+            pixel_idx = jax.random.permutation(rng_perm, res * res)[
                 : o.renderer.ray_subsamples
             ]
-            rays_o = rays_o[:, perm]
-            rays_d = rays_d[:, perm]
-            ray_idx = perm  # [R_pre]
+            ray_idx = pixel_idx  # [R_pre]
+        rays_o, rays_d = generate_rays(
+            extrinsics.reshape(i_dim, 4, 4), intrinsics.reshape(i_dim, 3, 3),
+            res, pixel_idx=pixel_idx,
+        )  # [I, R, 3]
 
         rep = lambda a: jnp.repeat(a, v, axis=0)
-        occ_i = VoxelOccupancy(
-            grid=rep(occ_b.grid), origin=occ_b.origin,
-            voxel_size=occ_b.voxel_size, dims=occ_b.dims,
-        )
+        occ_i = None
+        if self.cfg.validity == "voxel":
+            occ_b = VoxelOccupancy.build(coords, o.voxel_grid)
+            occ_i = VoxelOccupancy(
+                grid=rep(occ_b.grid), origin=occ_b.origin,
+                voxel_size=occ_b.voxel_size, dims=occ_b.dims,
+            )
 
         out = self._render_core(
             params,
@@ -391,17 +405,19 @@ class PointNeRF:
         b, v = extrinsics.shape[:2]
         i_dim = b * v
 
-        occ_b = VoxelOccupancy.build(coords, o.voxel_grid)
         rays_o, rays_d = generate_rays(
             extrinsics.reshape(i_dim, 4, 4),
             intrinsics.reshape(i_dim, 3, 3),
             resolution,
         )
         rep = lambda a: jnp.repeat(a, v, axis=0)
-        occ_i = VoxelOccupancy(
-            grid=rep(occ_b.grid), origin=occ_b.origin,
-            voxel_size=occ_b.voxel_size, dims=occ_b.dims,
-        )
+        occ_i = None
+        if self.cfg.validity == "voxel":
+            occ_b = VoxelOccupancy.build(coords, o.voxel_grid)
+            occ_i = VoxelOccupancy(
+                grid=rep(occ_b.grid), origin=occ_b.origin,
+                voxel_size=occ_b.voxel_size, dims=occ_b.dims,
+            )
         out = self._render_core(
             params, rep(coords), rep(feats), occ_i, rays_o, rays_d,
             rng=None, train=False,

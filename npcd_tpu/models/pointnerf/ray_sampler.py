@@ -16,10 +16,16 @@ import jax.numpy as jnp
 
 
 def generate_rays(
-    extr: jnp.ndarray, intr: jnp.ndarray, resolution: int
+    extr: jnp.ndarray,
+    intr: jnp.ndarray,
+    resolution: int,
+    pixel_idx: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """extr: [N, 4, 4] world2cam, intr: [N, 3, 3] ->
-    (origins [N, res*res, 3], dirs [N, res*res, 3], unit-norm dirs)."""
+    (origins [N, R, 3], unit-norm dirs [N, R, 3]) with R = res*res, or
+    R = len(pixel_idx) when a flat pixel subset is given (training
+    presamples ~112 of 16384 pixels — generating only those avoids
+    materializing the full ray grid)."""
     n = extr.shape[0]
 
     fx = intr[:, 0, 0][:, None]
@@ -28,10 +34,17 @@ def generate_rays(
     cy = intr[:, 1, 2][:, None]
     sk = intr[:, 0, 1][:, None]
 
-    u = jnp.arange(resolution, dtype=jnp.float32) + 0.5
-    yy, xx = jnp.meshgrid(u, u, indexing="ij")  # row-major: y varies slowest
-    x_cam = jnp.broadcast_to(xx.reshape(1, -1), (n, resolution * resolution))
-    y_cam = jnp.broadcast_to(yy.reshape(1, -1), (n, resolution * resolution))
+    if pixel_idx is None:
+        u = jnp.arange(resolution, dtype=jnp.float32) + 0.5
+        yy, xx = jnp.meshgrid(u, u, indexing="ij")  # row-major: y slowest
+        xs, ys = xx.reshape(-1), yy.reshape(-1)
+    else:
+        pixel_idx = pixel_idx.astype(jnp.int32)
+        ys = (pixel_idx // resolution).astype(jnp.float32) + 0.5
+        xs = (pixel_idx % resolution).astype(jnp.float32) + 0.5
+    num = xs.shape[0]
+    x_cam = jnp.broadcast_to(xs.reshape(1, -1), (n, num))
+    y_cam = jnp.broadcast_to(ys.reshape(1, -1), (n, num))
     z_cam = jnp.ones_like(x_cam)
 
     x_lift = (x_cam - cx + cy * sk / fy - sk * y_cam / fy) / fx * z_cam
