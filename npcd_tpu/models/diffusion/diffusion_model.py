@@ -93,15 +93,43 @@ class DiffusionModel:
             return self.denoiser.apply({"params": params}, coords_t, feats_t, t)
         return fn
 
-    def compute_loss(self, state: DiffusionState, rng: jax.Array, coords, feats):
-        """coords: [N, coords_dim, P], feats: [N, feats_dim, P] (latent space)."""
+    def compute_loss(
+        self,
+        state: DiffusionState,
+        rng: jax.Array,
+        coords,
+        feats,
+        example_offset=0,
+    ):
+        """coords: [N, coords_dim, P], feats: [N, feats_dim, P] (latent space).
+
+        Timesteps and noise are drawn from per-example keys
+        fold_in(rng, example_offset + i), so the loss is invariant to batch
+        sharding: a shard_map step passes its shard's global offset
+        (axis_index * shard_size) and reproduces exactly the draws the
+        single-device / GSPMD step makes for the same examples."""
         coords = normalize(state.coords_norm, coords)
         feats = normalize(state.feats_norm, feats)
         n = coords.shape[0]
-        rng_t, rng_loss = jax.random.split(rng)
-        t = jax.random.randint(rng_t, (n,), 0, self.process.num_timesteps)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            example_offset + jnp.arange(n)
+        )
+        t = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, self.process.num_timesteps)
+        )(jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys))
+        coords_noise = jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(k, 1), coords.shape[1:], coords.dtype
+            )
+        )(keys)
+        feats_noise = jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(k, 2), feats.shape[1:], feats.dtype
+            )
+        )(keys)
         return self.process.p_losses(
-            rng_loss, self.denoise_fn(state.params), coords, feats, t
+            rng, self.denoise_fn(state.params), coords, feats, t,
+            noise=(coords_noise, feats_noise),
         )
 
     @functools.partial(jax.jit, static_argnums=(0, 3))

@@ -164,12 +164,20 @@ class GaussianDiffusion:
         coords_start,
         feats_start,
         t,
+        noise: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
         """Joint eps-MSE on coords and feats, each halved so their sum is the
-        average (reference gaussian_diffusion.py:199-230)."""
-        rng_c, rng_f = jax.random.split(rng)
-        coords_noise = jax.random.normal(rng_c, coords_start.shape, coords_start.dtype)
-        feats_noise = jax.random.normal(rng_f, feats_start.shape, feats_start.dtype)
+        average (reference gaussian_diffusion.py:199-230).
+
+        `noise` optionally supplies (coords_noise, feats_noise) explicitly —
+        used by DiffusionModel.compute_loss to draw noise per example so the
+        loss is invariant to how the batch is sharded over a device mesh."""
+        if noise is not None:
+            coords_noise, feats_noise = noise
+        else:
+            rng_c, rng_f = jax.random.split(rng)
+            coords_noise = jax.random.normal(rng_c, coords_start.shape, coords_start.dtype)
+            feats_noise = jax.random.normal(rng_f, feats_start.shape, feats_start.dtype)
 
         coords_t = self.q_sample(coords_start, t, coords_noise)
         feats_t = self.q_sample(feats_start, t, feats_noise)

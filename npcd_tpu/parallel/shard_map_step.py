@@ -3,8 +3,9 @@
 Alternative to the GSPMD path (jit + sharded inputs): the per-device program
 is written explicitly with shard_map and the gradient reduction is a visible
 psum over the 'data' axis of the ICI mesh. Numerically equivalent to the
-GSPMD step when the loss is a mean over the batch (psum of per-shard
-grad * shard_fraction == global-batch grad); useful when collective
+GSPMD step (asserted in tests/test_shard_map.py): per-example rng keys make
+the (t, noise) draws shard-invariant, and psum of per-shard means equals the
+global-batch mean up to float reduction order. Useful when collective
 placement must be controlled by hand.
 """
 from __future__ import annotations
@@ -16,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.diffusion import DiffusionModel
 from ..train.diffusion_training import DiffusionTrainState
@@ -35,14 +36,18 @@ def make_shard_map_diffusion_step(
     n_shards = mesh.shape[axis]
 
     def per_device(state: DiffusionTrainState, batch, rng):
-        # identical rng on every shard would correlate noise across shards;
-        # fold in the device index
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        # per-example rng: pass this shard's global example offset so every
+        # example gets the same (t, noise) draws it would get single-device —
+        # the step is numerically equivalent to the GSPMD/jit step up to
+        # float reduction order
+        shard_n = batch["coords"].shape[0]
+        offset = jax.lax.axis_index(axis) * shard_n
 
         def loss_fn(params):
             dstate = state.diffusion_state(params)
             loss, sub_losses, _ = model.compute_loss(
-                dstate, rng, batch["coords"], batch["feats"]
+                dstate, rng, batch["coords"], batch["feats"],
+                example_offset=offset,
             )
             return loss, sub_losses
 
@@ -81,6 +86,6 @@ def make_shard_map_diffusion_step(
         mesh=mesh,
         in_specs=(state_spec, batch_spec, P()),
         out_specs=(state_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
