@@ -41,8 +41,10 @@ def bench_denoiser_steps(preset: str) -> float:
     from npcd_tpu.utils.ema import EmaConfig
 
     if preset == "full":
+        # remat=False measured fastest at batch 32 on v5e-1 (3.17 steps/s vs
+        # 2.94 "dots" / 2.70 full-remat); activations fit in 16 GB HBM
         model_kw = dict(width=1024, layers=24, heads=16, num_points=512,
-                        feats_dim=32, dtype=jnp.bfloat16, remat=True)
+                        feats_dim=32, dtype=jnp.bfloat16, remat=False)
         batch = 32
         iters = 20
     else:

@@ -49,6 +49,7 @@ class DiffusionModel:
         dtype: jnp.dtype = jnp.float32,
         attn_impl: str = "auto",
         remat: bool = False,
+        remat_policy: str = "full",
     ):
         self.coords_dim = coords_dim
         self.feats_dim = feats_dim
@@ -62,6 +63,7 @@ class DiffusionModel:
             dtype=dtype,
             attn_impl=attn_impl,
             remat=remat,
+            remat_policy=remat_policy,
         )
         self.process = GaussianDiffusion()
 

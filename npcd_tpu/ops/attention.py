@@ -30,6 +30,38 @@ def _einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     return jnp.einsum("bhts,bshc->bthc", weights, v)
 
 
+def fused_qkv_attention(
+    qkv: jnp.ndarray, heads: int, impl: str = "auto"
+) -> jnp.ndarray:
+    """Attention over fused qkv [B, S, 3W] in *global* [Q|K|V] channel order
+    (heads contiguous within each third) -> [B, S, W].
+
+    On TPU ("auto"/"pallas") this dispatches to the zero-copy Pallas kernel
+    that reads the fused tensor via three index-mapped views — no HBM-level
+    transpose, pad, or split (ops/pallas/fused_qkv_attention.py). Other
+    impls split the thirds and go through multi_head_attention.
+
+    Note the layout differs from the reference's per-head [q|k|v] groups
+    (transformer.py:71-73); the weight converter permutes the projection
+    columns once at load time."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    if impl == "auto":
+        supported = (
+            _on_tpu()
+            and d in (64, 128)
+            and qkv.dtype in (jnp.float32, jnp.bfloat16)
+        )
+        impl = "pallas" if supported else "einsum"
+    if impl == "pallas":
+        from .pallas.fused_qkv_attention import fused_qkv_attention as _kernel
+
+        return _kernel(qkv, heads)
+    q, k, v = (x.reshape(b, s, heads, d) for x in jnp.split(qkv, 3, axis=-1))
+    return multi_head_attention(q, k, v, impl=impl).reshape(b, s, w)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -8,9 +8,12 @@ masked softmax — no online-softmax streaming required. Padded key positions
 (introduced to align S to the 128-lane TPU tiling) are masked to -inf before
 the softmax.
 
-The backward pass is delegated to XLA autodiff of the mathematically
-identical einsum formulation via jax.custom_vjp: at S~513 the recompute is
-cheap and keeps the kernel surface minimal.
+The backward pass is a second Pallas kernel (one grid program per
+batch*head): it recomputes the S x S attention probabilities from (q, k)
+in VMEM — ~1.6 MB at S_pad=640, far below the 16 MB budget — and emits
+dq/dk/dv with five MXU matmuls, so no [B, H, S, S] tensor ever
+materializes in HBM in either direction (the reference's CUDA flash-attn
+has the same property, npcd/models/diffusion/denoisers/transformer.py:75).
 """
 from __future__ import annotations
 
@@ -86,6 +89,101 @@ def _flash_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) ->
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, seq_len: int, sm_scale: float,
+):
+    """Flash-attention backward for one (batch*head) slice.
+
+    Recomputes P = softmax(QK^T * scale) with padded key columns masked to a
+    large negative value (finite, so fully-padded query rows softmax to a
+    uniform distribution instead of NaN; their dO is zero after the caller
+    slices off padded outputs, so they contribute nothing), then
+
+        dV = P^T dO
+        dP = dO V^T
+        dS = P * (dP - rowsum(P * dP)) * scale
+        dQ = dS K,  dK = dS^T Q
+    """
+    q = q_ref[0].astype(jnp.float32)    # [S_pad, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # [S_pad, S_pad]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < seq_len, logits, _MASK_VALUE)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - m)
+    p = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)  # [S_pad, S_pad]
+
+    dv = jax.lax.dot_general(
+        p, do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S_pad, D]
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S_pad, S_pad]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # [S_pad, 1]
+    ds = p * (dp - delta) * sm_scale
+
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_impl(q, k, v, g):
+    """q, k, v, g: [B, S, H, D] -> (dq, dk, dv) each [B, S, H, D]."""
+    b, s, h, d = q.shape
+    s_pad = _round_up(s, _LANE)
+
+    def to_bh(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x
+
+    qb, kb, vb, gb = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+
+    full = pl.BlockSpec(
+        (1, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, seq_len=s, sm_scale=1.0 / (d ** 0.5)
+        ),
+        out_shape=(shape, shape, shape),
+        grid=(b * h,),
+        in_specs=[full, full, full, full],
+        out_specs=(full, full, full),
+    )(qb, kb, vb, gb)
+
+    def from_bh(x):
+        x = x[:, :s].reshape(b, h, s, d)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return from_bh(dq), from_bh(dk), from_bh(dv)
+
+
 def _einsum_reference(q, k, v):
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32))).astype(q.dtype)
@@ -105,8 +203,7 @@ def _fwd(q, k, v):
 
 def _bwd(res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_einsum_reference, q, k, v)
-    return vjp(g)
+    return _flash_attention_bwd_impl(q, k, v, g)
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -16,8 +16,11 @@ Source layout (the reference NPCD state_dict):
   diffusion.{coords,feats}_normalization.{shift,scale,min,max}
 
 torch Linear stores weight as [out, in]; flax/our Dense kernels are
-[in, out] -> transpose. The fused qkv layout ([q|k|v] per head along the
-output dim) is identical on both sides, so no head reshuffling is needed.
+[in, out] -> transpose. The reference's fused qkv projection emits per-head
+[q|k|v] channel groups (transformer.py:71-73); the TPU build uses a global
+[Q|K|V] order (heads contiguous within each third) so the Pallas attention
+kernel can view the fused tensor without HBM copies — the converter applies
+that column permutation once here (see ops/pallas/fused_qkv_attention.py).
 """
 from __future__ import annotations
 
@@ -87,14 +90,34 @@ def convert_pointnerf_params(
     }
 
 
+def _permute_qkv_global(kernel: np.ndarray, bias: np.ndarray, heads: int):
+    """Per-head [q|k|v] output channels -> global [Q|K|V] (heads contiguous).
+
+    kernel: [in, 3W]; bias: [3W]. Source column h*3d + g*d + j maps to
+    g*W + h*d + j (g in {q,k,v})."""
+    in_dim, w3 = kernel.shape
+    d = w3 // (3 * heads)
+    k = kernel.reshape(in_dim, heads, 3, d).transpose(0, 2, 1, 3).reshape(in_dim, w3)
+    b = bias.reshape(heads, 3, d).transpose(1, 0, 2).reshape(w3)
+    return np.ascontiguousarray(k), np.ascontiguousarray(b)
+
+
 def convert_denoiser_params(
-    state: Dict[str, Any], layers: int = 24, prefix: str = "diffusion.denoiser."
+    state: Dict[str, Any],
+    layers: int = 24,
+    heads: int = 16,
+    prefix: str = "diffusion.denoiser.",
 ) -> Dict[str, Any]:
     def dense(key):
         return {
             "kernel": _t(state[f"{prefix}{key}.weight"]),
             "bias": _a(state[f"{prefix}{key}.bias"]),
         }
+
+    def qkv_dense(key):
+        d = dense(key)
+        kernel, bias = _permute_qkv_global(d["kernel"], d["bias"], heads)
+        return {"kernel": kernel, "bias": bias}
 
     def ln(key):
         return {
@@ -118,7 +141,7 @@ def convert_denoiser_params(
             "ln_1": ln(b + "ln_1"),
             "ln_2": ln(b + "ln_2"),
             "attn": {
-                "c_qkv": dense(b + "attn.c_qkv"),
+                "c_qkv": qkv_dense(b + "attn.c_qkv"),
                 "c_proj": dense(b + "attn.c_proj"),
             },
             "mlp": {

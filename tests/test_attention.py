@@ -48,6 +48,60 @@ def test_pallas_interpret_matches_einsum():
     np.testing.assert_allclose(out_e, out_p, rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_bwd_interpret_matches_einsum_grads():
+    """The Pallas backward kernel (dq/dk/dv) vs XLA autodiff of the einsum
+    formulation, in interpreter mode on CPU, with S=9 padded to 128 so the
+    padded-row/column handling of the bwd kernel is exercised."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv(b=2, s=9, h=2, d=64, seed=4)
+    cotangent = jax.random.normal(jax.random.PRNGKey(5), q.shape)
+
+    def loss(impl):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, impl=impl)
+            return (out * cotangent).sum()
+        return f
+
+    grads_e = jax.grad(loss("einsum"), argnums=(0, 1, 2))(q, k, v)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            grads_p = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+            grads_p = jax.tree_util.tree_map(np.asarray, grads_p)
+    except Exception as e:  # pragma: no cover - interpret mode support varies
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    for ge, gp, name in zip(grads_e, grads_p, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(ge), gp, rtol=1e-4, atol=1e-5, err_msg=f"d{name}"
+        )
+
+
+def test_fused_qkv_pallas_interpret_matches_einsum():
+    """The zero-copy fused-qkv kernel (fwd + bwd) vs the einsum path, on the
+    global [Q|K|V] channel layout."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from npcd_tpu.ops.attention import fused_qkv_attention
+
+    b, s, h, d = 2, 9, 2, 64
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (b, s, 3 * h * d))
+    ct = jax.random.normal(jax.random.PRNGKey(8), (b, s, h * d))
+
+    def loss(impl):
+        return lambda qkv: (fused_qkv_attention(qkv, h, impl=impl) * ct).sum()
+
+    out_e = np.asarray(fused_qkv_attention(qkv, h, impl="einsum"))
+    grad_e = np.asarray(jax.grad(loss("einsum"))(qkv))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out_p = np.asarray(fused_qkv_attention(qkv, h, impl="pallas"))
+            grad_p = np.asarray(jax.grad(loss("pallas"))(qkv))
+    except Exception as e:  # pragma: no cover - interpret mode support varies
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(out_e, out_p, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(grad_e, grad_p, rtol=1e-4, atol=1e-5)
+
+
 def test_attention_gradients_flow():
     q, k, v = _qkv(seed=3)
 

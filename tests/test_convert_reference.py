@@ -98,7 +98,7 @@ def _torch_forward(sd, coords, feats, t):
 def test_converted_denoiser_matches_torch_oracle():
     sd = _torch_denoiser_state()
     params = convert_denoiser_params(
-        {k: v.numpy() for k, v in sd.items()}, layers=LAYERS
+        {k: v.numpy() for k, v in sd.items()}, layers=LAYERS, heads=H
     )
 
     model = NPCDTransformer(coords_dim=CD, feats_dim=FD, width=W,

@@ -1,0 +1,70 @@
+"""Pallas fused LayerNorm vs flax nn.LayerNorm (values and grads)."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from npcd_tpu.ops.pallas.layer_norm import layer_norm
+
+
+def _ref_ln(x, gamma, beta, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return y.astype(x.dtype)
+
+
+def test_layer_norm_matches_reference():
+    n, s, w = 2, 9, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, s, w)) * 2 + 0.5
+    gamma = jax.random.normal(jax.random.PRNGKey(1), (w,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(2), (w,))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            y = np.asarray(layer_norm(x, gamma, beta))
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(y, np.asarray(_ref_ln(x, gamma, beta)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_grads_match_reference():
+    n, s, w = 2, 9, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, s, w))
+    gamma = jax.random.normal(jax.random.PRNGKey(1), (w,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(2), (w,))
+    ct = jax.random.normal(jax.random.PRNGKey(3), (n, s, w))
+
+    def loss(fn):
+        return lambda x, g, b: (fn(x, g, b) * ct).sum()
+
+    ref_grads = jax.grad(loss(_ref_ln), argnums=(0, 1, 2))(x, gamma, beta)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            pl_grads = jax.grad(loss(layer_norm), argnums=(0, 1, 2))(x, gamma, beta)
+            pl_grads = jax.tree_util.tree_map(np.asarray, pl_grads)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    for r, p, name in zip(ref_grads, pl_grads, ("dx", "dgamma", "dbeta")):
+        np.testing.assert_allclose(np.asarray(r), p, rtol=1e-4, atol=1e-5,
+                                   err_msg=name)
+
+
+def test_layer_norm_bf16_io():
+    n, s, w = 1, 5, 256
+    x = (jax.random.normal(jax.random.PRNGKey(0), (n, s, w))).astype(jnp.bfloat16)
+    gamma = jnp.ones((w,))
+    beta = jnp.zeros((w,))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            y = layer_norm(x, gamma, beta)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    assert y.dtype == jnp.bfloat16
+    ref = _ref_ln(x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
