@@ -108,7 +108,7 @@ def bench_stage1_steps(preset: str):
             )
         )
         cfg = PointNeRFRenderConfig(
-            train_rays=64, train_instance_chunk=50, compute_dtype=jnp.bfloat16
+            train_rays=112, train_instance_chunk=50, compute_dtype=jnp.bfloat16
         )
     else:
         b, v, res, p, n_obj, iters = 2, 2, 16, 32, 8, 3

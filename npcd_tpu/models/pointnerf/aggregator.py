@@ -20,7 +20,7 @@ neighbor features only.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,24 @@ def compact_valid_samples(
     return depths_c, mask
 
 
+def knn_neighbors(
+    shading_pts: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    kp_pos: jnp.ndarray,
+    k: int,
+    radius: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN indices + in-radius mask for each shading point.
+
+    Separated from aggregate_features so the training path can run it once
+    outside the rematerialized chunk (the indices are a small s32 tensor;
+    recomputing the kNN kernel in the backward pass is pure waste)."""
+    idx, nb_mask = jax.vmap(
+        lambda x, p: dense_knn(x, p, k, radius)
+    )(shading_pts, jax.lax.stop_gradient(kp_pos))  # [B, N, k] each
+    return idx, nb_mask & pts_mask[..., None]
+
+
 def aggregate_features(
     params: Dict[str, Any],
     opts: AggregatorOptions,
@@ -65,6 +83,7 @@ def aggregate_features(
     kp_pos: jnp.ndarray,
     kp_feat: jnp.ndarray,
     compute_dtype: Any = jnp.float32,
+    neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-shading-point aggregated features.
 
@@ -74,19 +93,32 @@ def aggregate_features(
       pts_mask:    [B, N] validity of each shading point.
       kp_pos:      [B, P, 3] neural point coords.
       kp_feat:     [B, P, F] neural point features.
+      neighbors:   optional precomputed (idx, nb_mask) from knn_neighbors.
     Returns:
       feat:     [B, N, out_dim] aggregated features (zeros where invalid).
       valid_pt: [B, N] final validity (had >= 1 neighbor within radius).
     """
     kp_pos = jax.lax.stop_gradient(kp_pos)  # detach_points=True
 
-    idx, nb_mask = jax.vmap(lambda x, p: dense_knn(x, p, opts.k, radius))(
-        shading_pts, kp_pos
-    )  # [B, N, k], [B, N, k]
-    nb_mask = nb_mask & pts_mask[..., None]
+    if neighbors is None:
+        neighbors = knn_neighbors(shading_pts, pts_mask, kp_pos, opts.k, radius)
+    idx, nb_mask = neighbors  # [B, N, k] each
 
-    nb_pos = jax.vmap(lambda t, i: t[i])(kp_pos, idx)  # [B, N, k, 3]
-    nb_feat = jax.vmap(lambda t, i: t[i])(kp_feat, idx)  # [B, N, k, F]
+    # Neighbor gather as one-hot MXU matmuls: row-gathers of 3/F-wide rows
+    # run on the scalar core at ~60 cycles/row (measured 350 ms/step at the
+    # SRN config); XLA streams the iota-compare one-hot into the matmul, so
+    # this is pure MXU work and the feature-gather *backward* becomes a
+    # matmul as well (instead of a segment-sum scatter).
+    p_dim = kp_pos.shape[1]
+    onehot32 = jax.nn.one_hot(idx, p_dim, dtype=jnp.float32)  # [B, N, k, P]
+    nb_pos = jnp.einsum(
+        "bnkp,bpc->bnkc", onehot32, kp_pos
+    )  # [B, N, k, 3] (f32: positions feed distances/weights)
+    nb_feat = jnp.einsum(
+        "bnkp,bpc->bnkc",
+        onehot32.astype(compute_dtype),
+        kp_feat.astype(compute_dtype),
+    ).astype(kp_feat.dtype)  # [B, N, k, F]
 
     x_rel = shading_pts[:, :, None, :] - nb_pos  # [B, N, k, 3]
     dist = jnp.linalg.norm(x_rel, axis=-1)
@@ -96,10 +128,16 @@ def aggregate_features(
 
     x_enc = positional_encoding(x_rel, opts.n_freqs, opts.freq_mult, method=opts.posenc_method)
     field_in = jnp.concatenate([nb_feat, x_enc], axis=-1)  # [B, N, k, F + enc]
+    # Flatten the (N, k) pair dims before the MLP: the 4D tensor's einsum
+    # layout makes XLA run the [*, 256]x[256, 256] matmuls ~10x below peak;
+    # a flat [B, N*k, C] view restores clean MXU tiling.
+    b_dim, n_dim, k_dim = field_in.shape[:3]
     local_feat = apply_mlp(
-        params["local_field"], field_in, act=opts.activation,
+        params["local_field"],
+        field_in.reshape(b_dim, n_dim * k_dim, -1),
+        act=opts.activation,
         compute_dtype=compute_dtype,
-    )  # [B, N, k, out_dim]
+    ).reshape(b_dim, n_dim, k_dim, -1)  # [B, N, k, out_dim]
 
     feat = jnp.einsum(
         "bnk,bnkc->bnc", w.astype(local_feat.dtype), local_feat

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ...ops.knn import VoxelOccupancy, dense_knn
 from ...utils.config import PointNeRFOptions, pointnerf_default_options
 from . import embeddings
-from .aggregator import aggregate_features, compact_valid_samples
+from .aggregator import aggregate_features, compact_valid_samples, knn_neighbors
 from .field import field_heads
 from .math_utils import fill_invalid_ray_limits, get_ray_limits_box
 from .nn_core import init_mlp, posenc_dim
@@ -42,7 +42,12 @@ from .renderer import fix_shading_depths, ray_march, sample_depths
 class PointNeRFRenderConfig:
     """Static render-time knobs (hashable -> usable as jit static arg)."""
 
-    train_rays: int = 64           # fixed count of valid rays kept per view
+    # fixed count of valid rays kept per view. Default 112 matches the
+    # reference's effective budget: it presamples 112 rays/view and keeps
+    # *all* valid ones (renderer.py:232-238, aggregator.py:78-119 caps at
+    # the batch-min valid count <= 128); invalid slots here are masked out
+    # of the loss instead.
+    train_rays: int = 112
     train_instance_chunk: int = 50  # view-instances per remat chunk in training
     train_ray_chunk: int = 256      # kept for bwd-compat; training chunks instances
     eval_ray_chunk: int = 4096      # rays per chunk in eval
@@ -196,13 +201,14 @@ class PointNeRF:
         # workload shape: eval has few instances and many rays (chunk rays);
         # training has many instances (B*V) and few selected rays (chunk
         # instances, rematerialized for the backward pass).
-        def field_chunk(d_c, msk, r_o, r_d, r_e, kpp, kpf):
+        def field_chunk(d_c, msk, r_o, r_d, r_e, kpp, kpf, neighbors=None):
             n_i, n_r = d_c.shape[:2]
             pts = r_o[:, :, None, :] + d_c[..., None] * r_d[:, :, None, :]
             feat, valid_pt = aggregate_features(
                 params["aggregator"], o.aggregator, o.knn_radius,
                 pts.reshape(n_i, -1, 3), msk.reshape(n_i, -1),
                 kpp, kpf, compute_dtype=self.cfg.compute_dtype,
+                neighbors=neighbors,
             )
             feat = feat.reshape(n_i, n_r, m, -1)
             valid_pt = valid_pt.reshape(n_i, n_r, m)
@@ -215,6 +221,15 @@ class PointNeRF:
             return ray_march(sigma, d_fixed, rgb, o.renderer.white_back)
 
         if train:
+            # kNN once for all instances, outside the rematerialized chunks:
+            # the (idx, mask) outputs are small s32/bool tensors, so saving
+            # them beats re-running the kNN kernel in the backward pass.
+            pts_all = rays_o[:, :, None, :] + depths_c[..., None] * rays_d[:, :, None, :]
+            nb_idx, nb_mask = knn_neighbors(
+                pts_all.reshape(i_dim, -1, 3), pts_mask.reshape(i_dim, -1),
+                kp_pos, o.aggregator.k, o.knn_radius,
+            )
+
             ic = min(self.cfg.train_instance_chunk, i_dim)
             pad_i = (-i_dim) % ic
             padi = lambda a: jnp.concatenate(
@@ -222,12 +237,14 @@ class PointNeRF:
             ) if pad_i else a
             arrays = tuple(
                 padi(a) for a in (depths_c, pts_mask, rays_o, rays_d, ray_end,
-                                  kp_pos, kp_feat)
+                                  kp_pos, kp_feat, nb_idx, nb_mask)
             )
             n_chunks = (i_dim + pad_i) // ic
             xs = tuple(a.reshape(n_chunks, ic, *a.shape[1:]) for a in arrays)
 
-            body_fn = jax.checkpoint(lambda c: field_chunk(*c))
+            body_fn = jax.checkpoint(
+                lambda c: field_chunk(*c[:7], neighbors=(c[7], c[8]))
+            )
             outs = jax.lax.map(body_fn, xs)  # dict of [C, ic, R, ...]
             out = {
                 k: v.reshape(n_chunks * ic, *v.shape[2:])[:i_dim]

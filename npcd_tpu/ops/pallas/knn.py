@@ -46,19 +46,27 @@ def _knn_kernel(x_ref, p_ref, idx_ref, d2_ref, *, k: int, num_points: int):
     )  # [BLK, P_pad]
     d2 = x2 - 2.0 * xp + p2[None, :]
 
-    p_pad = d2.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    big = jnp.float32(3.4e38)
-    d2 = jnp.where(col < num_points, d2, big)
 
-    # k rounds of (min, argmin-with-lowest-index, mask-out)
+    # Packed-key top-k: d2 >= 0 so its f32 bit pattern is order-preserving
+    # as int32; steal the low index_bits of the mantissa for the point
+    # index. One min-reduce per round then yields the nearest point with
+    # lowest-index tie-breaking (exact ties compare on the index bits),
+    # halving the VPU passes vs a min+argmin formulation. Distances lose
+    # index_bits of mantissa (~2^-14 relative) - far below the f32 noise of
+    # the distance computation itself.
+    index_bits = max((num_points - 1).bit_length(), 1)
+    mask_idx = (1 << index_bits) - 1
+    d2 = jnp.maximum(d2, 0.0)  # bit-order trick needs non-negative floats
+    key = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    key = jnp.where(col < num_points, (key & ~mask_idx) | col, jnp.int32(0x7F7FFFFF))
+
     for j in range(k):
-        m = jnp.min(d2, axis=-1, keepdims=True)  # [BLK, 1]
-        is_min = d2 <= m
-        arg = jnp.min(jnp.where(is_min, col, p_pad), axis=-1)  # lowest index
+        m = jnp.min(key, axis=-1, keepdims=True)  # [BLK, 1]
+        arg = m[:, 0] & mask_idx
         idx_ref[:, j] = arg
-        d2_ref[:, j] = m[:, 0]
-        d2 = jnp.where(col == arg[:, None], big, d2)
+        d2_ref[:, j] = jax.lax.bitcast_convert_type(m[:, 0] & ~mask_idx, jnp.float32)
+        key = jnp.where(key == m, jnp.int32(0x7F7FFFFF), key)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

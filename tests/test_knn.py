@@ -104,8 +104,17 @@ def test_pallas_knn_interpret_matches_xla():
             i_p, m_p = dense_knn(x, pts, 8, 0.5, impl="pallas")
     except Exception as e:  # pragma: no cover
         pytest.skip(f"pallas interpret mode unavailable: {e}")
-    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
-    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_ref))
+    # The packed-key kernel steals log2(P) mantissa bits from d^2 for the
+    # tie-break, so neighbors whose distances differ by <~2^-14 relative may
+    # swap order vs lax.top_k. Compare distances (tight tolerance) and
+    # require index agreement wherever the swap window doesn't apply.
+    i_p, m_p, i_ref, m_ref = map(np.asarray, (i_p, m_p, i_ref, m_ref))
+    np.testing.assert_array_equal(m_p, m_ref)
+    d_ref = np.linalg.norm(np.asarray(x)[:, None] - np.asarray(pts)[i_ref], axis=-1)
+    d_p = np.linalg.norm(np.asarray(x)[:, None] - np.asarray(pts)[i_p], axis=-1)
+    np.testing.assert_allclose(d_p, d_ref, rtol=1e-4, atol=1e-6)
+    mismatch = i_p != i_ref
+    assert mismatch.mean() < 1e-3, f"too many index mismatches: {mismatch.sum()}"
 
 
 def test_pallas_knn_tie_breaking_interpret():

@@ -32,6 +32,73 @@ def _make_state(model, tx):
     )
 
 
+def test_stage1_dp_train_step_matches_single_device():
+    """Stage-1 (PointNeRF) DP: object batch sharded over 8 devices must
+    reproduce the single-device step exactly (params, loss, embedding-table
+    grads through the gather/scatter-add)."""
+    import dataclasses
+
+    from npcd_tpu.losses import PointNeRFLossWeights
+    from npcd_tpu.models.pointnerf import PointNeRF, PointNeRFRenderConfig
+    from npcd_tpu.train.pointnerf_training import (
+        PointNeRFTrainState,
+        make_pointnerf_optimizer,
+        make_pointnerf_train_step,
+    )
+    from npcd_tpu.data.synthetic import random_cameras
+    from npcd_tpu.utils.config import pointnerf_default_options
+
+    n_obj, p, v, res = 8, 32, 2, 16
+    opts = pointnerf_default_options(num_points=p, feat_dim=8)
+    opts = dataclasses.replace(
+        opts,
+        renderer=dataclasses.replace(opts.renderer, depth_resolution=24,
+                                     ray_subsamples=32),
+        aggregator=dataclasses.replace(opts.aggregator, max_shading_pts=8),
+        default_resolution=res,
+    )
+    pn = PointNeRF(n_obj=n_obj, feats_dim=8, num_points=p, opts=opts,
+                   render_config=PointNeRFRenderConfig(
+                       train_rays=16, train_instance_chunk=v * 8))
+    params = pn.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (n_obj, p, 3),
+                                minval=-0.4, maxval=0.4)
+    params = pn.set_all_coords(params, coords)
+    tx = make_pointnerf_optimizer(1e-3)
+
+    extr, intr = random_cameras(v, res, seed=0)
+    batch = {
+        "obj_idx": jnp.arange(n_obj),
+        "images": jax.random.uniform(jax.random.PRNGKey(2), (n_obj, v, res * res, 3)),
+        "intrinsics": jnp.tile(jnp.asarray(intr)[None], (n_obj, 1, 1, 1)),
+        "extrinsics": jnp.tile(jnp.asarray(extr)[None], (n_obj, 1, 1, 1)),
+    }
+    rng = jax.random.PRNGKey(3)
+    step = make_pointnerf_train_step(
+        pn, tx, PointNeRFLossWeights(1.0, 1e-7, 3.5e-7), donate=False)
+
+    def make_state():
+        return PointNeRFTrainState(params=params, opt_state=tx.init(params),
+                                   step=jnp.zeros((), jnp.int32))
+
+    ref_new, ref_metrics = step(make_state(), batch, rng)
+
+    mesh = make_mesh()
+    dp_state = replicate(make_state(), mesh)
+    dp_batch = shard_batch(batch, mesh)
+    dp_new, dp_metrics = step(dp_state, dp_batch, rng)
+
+    assert float(dp_metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref_new.params)[0],
+        jax.tree_util.tree_flatten_with_path(dp_new.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_dp_train_step_matches_single_device():
     model = DiffusionModel(coords_dim=3, feats_dim=4, num_points=16,
                            width=32, layers=1, heads=2, attn_impl="einsum")
