@@ -77,15 +77,25 @@ def calc_kid(
 class TorchScriptInceptionExtractor:
     """StyleGAN TorchScript Inception features on CPU torch.
 
-    Input images: [N, H, W, 3] float in [0, 1]; internally converted to the
-    [-1, 1] NCHW layout the reference feeds (diffusion_evaluation.py:179-181).
+    Input images: [N, H, W, 3] float in [0, 1]. The tensor handed to the
+    TorchScript graph reproduces the reference pipeline exactly: images go
+    through `img * 2 - 1` into the metric (diffusion_evaluation.py:181),
+    and the mmgen StyleGAN-style feed_op then computes
+    `(x * 127.5 + 128).clamp(0, 255).to(torch.uint8)` in NCHW (the
+    stylegan2-ada constant mmgen inherits) — for the reference's
+    255-level-quantized renders this lands on exactly round(img*255).
+    Pinned by tests/test_eval_pipelines.py::test_inception_feed_contract.
     """
 
-    def __init__(self, inception_path: str, batch_size: int = 32):
+    def __init__(self, inception_path: Optional[str] = None,
+                 batch_size: int = 32, model=None):
         import torch
 
         self._torch = torch
-        self.model = torch.jit.load(inception_path, map_location="cpu").eval()
+        self.model = (
+            model if model is not None
+            else torch.jit.load(inception_path, map_location="cpu").eval()
+        )
         self.batch_size = batch_size
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
@@ -94,12 +104,12 @@ class TorchScriptInceptionExtractor:
         with torch.no_grad():
             for start in range(0, len(images), self.batch_size):
                 chunk = images[start:start + self.batch_size]
+                # [0,1] HWC -> [-1,1] NCHW (reference feed, :181)
                 x = torch.from_numpy(
                     (chunk * 2.0 - 1.0).transpose(0, 3, 1, 2).astype(np.float32)
                 )
-                # StyleGAN TS inception takes uint8-range inputs scaled
-                # internally; the mmgen wrapper feeds [-1,1]*127.5+127.5
-                x = (x * 127.5 + 127.5).clamp(0, 255)
+                # mmgen StyleGAN feed_op: uint8-range, uint8 dtype
+                x = (x * 127.5 + 128).clamp(0, 255).to(torch.uint8)
                 feats.append(self.model(x, return_features=True).numpy())
         return np.concatenate(feats, 0)
 

@@ -1,0 +1,169 @@
+"""End-to-end coverage for both evaluation pipelines + the Inception feed.
+
+- DiffusionEvaluation: tiny generate -> render -> FID/KID via the
+  deterministic random_projection extractor and a synthetic real-stats
+  pickle (the FID-28.6 protocol shape, reference
+  diffusion_evaluation.py:146-188), incl. outputs and the idempotent skip.
+- PointNeRFEvaluation: PSNR frame, summary/csv outputs, idempotent skip
+  (reference pointnerf_evaluation.py:94-97,152-188).
+- TorchScriptInceptionExtractor: pins the exact tensor handed to the
+  TorchScript graph to the mmgen/stylegan2-ada contract
+  ((img*2-1) * 127.5 + 128, clamped, uint8, NCHW).
+"""
+import dataclasses
+import os.path as osp
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from npcd_tpu.data import create_dataset
+from npcd_tpu.data.synthetic import random_cameras
+from npcd_tpu.eval import DiffusionEvaluation, PointNeRFEvaluation
+from npcd_tpu.models.npcd import NPCD
+from npcd_tpu.models.pointnerf import PointNeRF, PointNeRFRenderConfig
+from npcd_tpu.utils.config import pointnerf_default_options
+from npcd_tpu.utils.fidkid import TorchScriptInceptionExtractor
+
+P, FD, RES = 32, 8, 16
+
+
+def _tiny_npcd():
+    npcd = NPCD.__new__(NPCD)
+    opts = pointnerf_default_options(num_points=P, feat_dim=FD)
+    opts = dataclasses.replace(
+        opts,
+        renderer=dataclasses.replace(opts.renderer, depth_resolution=16,
+                                     ray_subsamples=24),
+        aggregator=dataclasses.replace(opts.aggregator, max_shading_pts=6),
+        default_resolution=RES,
+    )
+    npcd.pointnerf = PointNeRF(
+        n_obj=4, feats_dim=FD, num_points=P, opts=opts,
+        render_config=PointNeRFRenderConfig(train_rays=8, eval_ray_chunk=256),
+    )
+    from npcd_tpu.models.diffusion import DiffusionModel
+
+    npcd.diffusion = DiffusionModel(
+        coords_dim=3, feats_dim=FD, num_points=P, width=32, layers=1,
+        heads=2, attn_impl="einsum",
+    )
+    npcd.pointnerf_only = False
+    return npcd
+
+
+def test_diffusion_evaluation_e2e(tmp_path):
+    """Generate -> render from fixed poses -> FID/KID, via the
+    random_projection extractor (no Inception assets needed)."""
+    npcd = _tiny_npcd()
+    pn_params = npcd.pointnerf.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (4, P, 3),
+                                minval=-0.4, maxval=0.4)
+    pn_params = npcd.pointnerf.set_all_coords(pn_params, coords)
+    dstate = npcd.diffusion.init(jax.random.PRNGKey(2))
+    dstate = npcd.diffusion.fit_normalizers(
+        dstate,
+        np.random.default_rng(0).normal(size=(3, 256)).astype(np.float32),
+        np.random.default_rng(1).normal(size=(FD, 256)).astype(np.float32),
+    )
+
+    extr, intr = random_cameras(3, RES, seed=0)
+
+    # synthetic "real" statistics pickle in the reference format
+    rng = np.random.default_rng(2)
+    proj = np.random.default_rng(0).normal(size=(RES * RES * 3, 8)).astype(np.float32)
+    real_imgs = rng.uniform(0, 1, (20, RES, RES, 3)).astype(np.float32)
+    real_feats = real_imgs.reshape(20, -1) @ proj
+    pkl_path = str(tmp_path / "inception_stats.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"mean": real_feats.mean(0),
+                     "cov": np.cov(real_feats, rowvar=False),
+                     "feats_np": real_feats}, f)
+
+    ev = DiffusionEvaluation(
+        out_dir=str(tmp_path / "eval"),
+        num_samples=2,
+        poses=extr, intrinsics=intr,
+        inception_pkl_path=pkl_path,
+        feature_extractor="random_projection:8",
+        generate_batch_size=2,
+        render_pose_batch=2,
+        resolution=RES,
+        verbose=False,
+    )
+    results = ev(npcd, pn_params, dstate, rng=jax.random.PRNGKey(3),
+                 num_qualitatives=1)
+
+    assert np.isfinite(results["fid"]) and results["fid"] >= 0
+    assert np.isfinite(results["kid"])
+    assert osp.exists(tmp_path / "eval" / "results.pickle")
+    assert osp.exists(tmp_path / "eval" / "results.csv")
+    assert osp.exists(tmp_path / "eval" / "sample0000.png")
+
+    # idempotent skip returns the stored results without recomputing
+    again = ev(npcd, pn_params, dstate, rng=jax.random.PRNGKey(99))
+    pd.testing.assert_series_equal(results, again)
+
+
+def test_pointnerf_evaluation_outputs(tmp_path):
+    ds = create_dataset("SyntheticNPCTrain", n_obj=4, num_views=2,
+                        image_size=RES, num_points=P)
+    opts = pointnerf_default_options(num_points=P, feat_dim=FD)
+    opts = dataclasses.replace(
+        opts,
+        renderer=dataclasses.replace(opts.renderer, depth_resolution=16,
+                                     ray_subsamples=24),
+        aggregator=dataclasses.replace(opts.aggregator, max_shading_pts=6),
+        default_resolution=RES,
+    )
+    pn = PointNeRF(n_obj=4, feats_dim=FD, num_points=P, opts=opts,
+                   render_config=PointNeRFRenderConfig(eval_ray_chunk=256))
+    params = pn.init_params(jax.random.PRNGKey(0))
+    params = pn.set_all_coords(params, ds.get_all_coords())
+
+    ev = PointNeRFEvaluation(str(tmp_path / "eval"), eval_batch_size=1,
+                             verbose=False)
+    df = ev(ds, pn, params, samples=2, qualitatives=1, resolution=RES)
+
+    assert len(df) == 2 * 2  # 2 objects x 2 views
+    assert np.isfinite(df["psnr"]).all()
+    assert osp.exists(tmp_path / "eval" / "results.csv")
+    assert osp.exists(tmp_path / "eval" / "summary.csv")
+    summary = pd.read_csv(tmp_path / "eval" / "summary.csv")
+    assert np.isfinite(summary["psnr"][0])
+
+    # idempotent skip
+    df2 = ev(ds, pn, params, samples=2, resolution=RES)
+    pd.testing.assert_frame_equal(df, df2)
+
+
+def test_inception_feed_contract():
+    """The tensor handed to the TorchScript graph must be NCHW uint8 with
+    values exactly round(img*255) for 255-level-quantized images — the
+    mmgen/stylegan2-ada feed the published FID-28.6 statistics assume."""
+    torch = pytest.importorskip("torch")
+
+    captured = {}
+
+    class FakeTS:
+        def __call__(self, x, return_features=False):
+            captured["x"] = x
+            return torch.zeros((x.shape[0], 4))
+
+    extractor = TorchScriptInceptionExtractor(model=FakeTS())
+
+    rng = np.random.default_rng(0)
+    levels = rng.integers(0, 256, (2, 8, 8, 3))
+    images = (levels / 255.0).astype(np.float32)  # 255-level quantized [0,1]
+    feats = extractor(images)
+
+    x = captured["x"]
+    assert feats.shape == (2, 4)
+    assert x.dtype == torch.uint8  # mmgen StyleGAN feed_op dtype
+    assert x.shape == (2, 3, 8, 8)  # NCHW
+    np.testing.assert_array_equal(
+        x.numpy(), levels.transpose(0, 3, 1, 2).astype(np.uint8)
+    )
