@@ -40,7 +40,7 @@ def eval(args):
     dataset = build_dataset(config)
     model = build_pointnerf(config)
     params = model.init_params(jax.random.PRNGKey(args.seed))
-    params = load_weights_only(args.weights, params)
+    params = load_weights_only(args.weights, params, tolerant=True)  # strict=False in the reference
     logging.info(f"Loaded weights from {args.weights}")
 
     evaluation = PointNeRFEvaluation(out_dir=out_dir, eval_batch_size=args.eval_batch_size)

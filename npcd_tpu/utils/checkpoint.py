@@ -95,7 +95,58 @@ def save_weights_only(path: str, params: Any) -> None:
     ckptr.wait_until_finished()
 
 
-def load_weights_only(path: str, target: Any) -> Any:
+def load_weights_only(path: str, target: Any, tolerant: bool = False) -> Any:
+    """Restore a weights-only snapshot into the structure of `target`.
+
+    tolerant=True mirrors the reference FlexEmbedding behavior
+    (flex_embedding.py:9-26): leaves whose checkpoint shape disagrees with
+    the target (e.g. an embedding table saved with a different n_obj) are
+    warned about and left at the target's (freshly initialized) value
+    instead of raising."""
     ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(path)
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
-    return ckptr.restore(os.path.abspath(path), abstract)
+    if not tolerant:
+        return ckptr.restore(path, abstract)
+
+    from . import logging
+
+    meta = ckptr.metadata(path).item_metadata.tree
+    meta_leaves, meta_def = jax.tree_util.tree_flatten(meta)
+    abs_paths, abs_def = jax.tree_util.tree_flatten_with_path(abstract)
+    if meta_def != abs_def:
+        raise ValueError(
+            f"checkpoint tree structure at {path} does not match the target; "
+            "tolerant restore only handles per-leaf shape mismatches"
+        )
+
+    mismatched = []
+    restore_abstract = []
+    for (key_path, a), m in zip(abs_paths, meta_leaves):
+        m_shape = tuple(getattr(m, "shape", a.shape))
+        if m_shape != tuple(a.shape):
+            mismatched.append(jax.tree_util.keystr(key_path))
+            restore_abstract.append(
+                jax.ShapeDtypeStruct(m_shape, getattr(m, "dtype", a.dtype))
+            )
+        else:
+            restore_abstract.append(a)
+    restored = ckptr.restore(
+        path, jax.tree_util.tree_unflatten(abs_def, restore_abstract)
+    )
+
+    if not mismatched:
+        return restored
+    logging.warning(
+        "load_weights_only: shape mismatch for "
+        f"{mismatched}; keeping the target's initialized values for these "
+        "leaves (reference FlexEmbedding warn-and-reinit semantics)"
+    )
+    mismatch_set = set(mismatched)
+    target_leaves = jax.tree_util.tree_leaves(target)
+    restored_leaves = jax.tree_util.tree_leaves(restored)
+    out = [
+        t if jax.tree_util.keystr(kp) in mismatch_set else r
+        for (kp, _), t, r in zip(abs_paths, target_leaves, restored_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(abs_def, out)

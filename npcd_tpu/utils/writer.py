@@ -31,6 +31,9 @@ class Writer:
     def write_image(self, name: str, image: np.ndarray, step: int) -> None:
         pass
 
+    def write_histogram(self, name: str, values: np.ndarray, step: int) -> None:
+        pass
+
     def close(self) -> None:
         pass
 
@@ -61,11 +64,49 @@ class TensorboardWriter(Writer):
         # image: [H, W, 3] float in [0, 1]
         self._tb.add_image(name, image, step, dataformats="HWC")
 
+    def write_histogram(self, name: str, values: np.ndarray, step: int) -> None:
+        self._tb.add_histogram(name, values, step)
+
     def close(self) -> None:
         self._tb.close()
 
 
-def setup_writers(out_dir: str, tensorboard: bool = True) -> None:
+class WandbWriter(Writer):
+    """Weights & Biases backend (reference writer.py:299-333).
+
+    wandb is not bundled on this image; setup_writers gates on
+    importability and logs a warning instead of failing."""
+
+    def __init__(self, out_dir: str, exp_id: Optional[str] = None,
+                 comment: Optional[str] = None):
+        import wandb  # lazy; gated by setup_writers
+
+        self._wandb = wandb
+        self._run = wandb.init(
+            project="npcd_tpu", dir=out_dir, id=exp_id, notes=comment,
+            resume="allow" if exp_id else None,
+        )
+
+    def write_scalar(self, name: str, value: float, step: int) -> None:
+        self._wandb.log({name: value}, step=step)
+
+    def write_image(self, name: str, image: np.ndarray, step: int) -> None:
+        self._wandb.log({name: self._wandb.Image(image)}, step=step)
+
+    def write_histogram(self, name: str, values: np.ndarray, step: int) -> None:
+        self._wandb.log({name: self._wandb.Histogram(values)}, step=step)
+
+    def close(self) -> None:
+        self._run.finish()
+
+
+def setup_writers(
+    out_dir: str,
+    tensorboard: bool = True,
+    wandb: bool = False,
+    exp_id: Optional[str] = None,
+    comment: Optional[str] = None,
+) -> None:
     _WRITERS.clear()
     _WRITERS.append(JsonlWriter(os.path.join(out_dir, "metrics.jsonl")))
     if tensorboard:
@@ -73,6 +114,15 @@ def setup_writers(out_dir: str, tensorboard: bool = True) -> None:
             _WRITERS.append(TensorboardWriter(os.path.join(out_dir, "tb")))
         except ImportError:
             pass
+    if wandb:
+        try:
+            _WRITERS.append(WandbWriter(out_dir, exp_id=exp_id, comment=comment))
+        except ImportError:
+            from . import logging
+
+            logging.warning(
+                "wandb requested but not importable; continuing without it"
+            )
 
 
 def put_scalar(name: str, value: float, step: int) -> None:
@@ -88,6 +138,18 @@ def put_image(name: str, image: np.ndarray, step: int) -> None:
     EVENT_STORAGE.append({"kind": "image", "name": name, "value": image, "step": step})
 
 
+def put_histogram(name: str, values, step: int) -> None:
+    EVENT_STORAGE.append({
+        "kind": "histogram", "name": name,
+        "value": np.asarray(values).reshape(-1), "step": step,
+    })
+
+
+def put_histogram_dict(prefix: str, values: Dict[str, Any], step: int) -> None:
+    for k, v in values.items():
+        put_histogram(f"{prefix}/{k}", v, step)
+
+
 def write_out_storage() -> None:
     for ev in EVENT_STORAGE:
         for w in _WRITERS:
@@ -95,6 +157,8 @@ def write_out_storage() -> None:
                 w.write_scalar(ev["name"], float(ev["value"]), ev["step"])
             elif ev["kind"] == "image":
                 w.write_image(ev["name"], ev["value"], ev["step"])
+            elif ev["kind"] == "histogram":
+                w.write_histogram(ev["name"], ev["value"], ev["step"])
     EVENT_STORAGE.clear()
 
 
@@ -122,3 +186,17 @@ class TimeWriter:
         self.duration = time.time() - self.start
         if self.write and self.step is not None:
             put_scalar(f"time/{self.name}", self.duration, self.step)
+            # running-average ETA (reference writer.py:270-296)
+            buf = _TIME_BUFFERS.setdefault(self.name, [])
+            buf.append(self.duration)
+            del buf[:-20]
+            if _max_iterations is not None:
+                avg = sum(buf) / len(buf)
+                put_scalar(
+                    f"time/{self.name}_eta_hours",
+                    avg * max(_max_iterations - self.step, 0) / 3600.0,
+                    self.step,
+                )
+
+
+_TIME_BUFFERS: Dict[str, List[float]] = {}

@@ -67,3 +67,33 @@ def test_weights_only(tmp_path, state):
     save_weights_only(p, jax.device_get(state.params))
     loaded = load_weights_only(p, state.params)
     _trees_equal(loaded, state.params)
+
+
+def test_load_weights_only_tolerant_shape_mismatch(tmp_path):
+    """FlexEmbedding semantics (reference flex_embedding.py:9-26): a leaf
+    saved with a different shape (e.g. n_obj mismatch) restores to the
+    target's initialized value with a warning instead of raising."""
+    import numpy as np
+
+    saved = {
+        "coords_table": jnp.ones((4, 8, 3)),
+        "mlp": {"w": jnp.full((5, 5), 2.0)},
+    }
+    p = str(tmp_path / "weights")
+    save_weights_only(p, saved)
+
+    target = {
+        "coords_table": jnp.zeros((6, 8, 3)),  # different n_obj
+        "mlp": {"w": jnp.zeros((5, 5))},
+    }
+    # strict restore raises
+    import pytest
+
+    with pytest.raises(Exception):
+        load_weights_only(p, target)
+    # tolerant restore: mismatched leaf keeps target init, others load
+    out = load_weights_only(p, target, tolerant=True)
+    np.testing.assert_array_equal(np.asarray(out["coords_table"]),
+                                  np.zeros((6, 8, 3)))
+    np.testing.assert_array_equal(np.asarray(out["mlp"]["w"]),
+                                  np.full((5, 5), 2.0))

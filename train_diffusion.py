@@ -32,7 +32,9 @@ def train(args):
     logging.add_log_file(osp.join(args.output, "log.txt"))
     with open(osp.join(args.output, "cmd.txt"), "a") as f:
         f.write(" ".join(sys.argv) + "\n")
-    writer.setup_writers(args.output, tensorboard=not args.no_tensorboard)
+    writer.setup_writers(args.output, tensorboard=not args.no_tensorboard,
+                         wandb=args.wandb, exp_id=args.exp_id,
+                         comment=args.comment)
 
     config = load_config(args.config)
     print_config(config)
@@ -48,7 +50,9 @@ def train(args):
 
     pointnerf = build_pointnerf(config)
     pn_params = pointnerf.init_params(jax.random.PRNGKey(args.seed))
-    pn_params = load_weights_only(args.pointnerf_weights, pn_params)
+    # strict=False in the reference (train_diffusion.py:54): tolerate
+    # embedding-table shape mismatches via warn-and-reinit
+    pn_params = load_weights_only(args.pointnerf_weights, pn_params, tolerant=True)
     logging.info(f"Loaded pointnerf weights from {args.pointnerf_weights}")
 
     dataset = PointNeRFDataset(pointnerf=pointnerf, params=pn_params)
@@ -82,7 +86,7 @@ if __name__ == "__main__":
     parser.add_argument("--no_tensorboard", action="store_true",
                         help="Do not log to tensorboard. Default: do log.")
     parser.add_argument("--wandb", action="store_true",
-                        help="Accepted for reference-CLI compatibility (wandb is not bundled).")
+                        help="Log to Weights & Biases (requires the wandb package).")
     parser.add_argument("--exp_id", type=str, help="Experiment ID.")
     parser.add_argument("--comment", type=str, help="Comment for the experiment.")
     parser.add_argument("--mesh", action="store_true",

@@ -29,7 +29,9 @@ def train(args):
     logging.add_log_file(osp.join(args.output, "log.txt"))
     with open(osp.join(args.output, "cmd.txt"), "a") as f:
         f.write(" ".join(sys.argv) + "\n")
-    writer.setup_writers(args.output, tensorboard=not args.no_tensorboard)
+    writer.setup_writers(args.output, tensorboard=not args.no_tensorboard,
+                         wandb=args.wandb, exp_id=args.exp_id,
+                         comment=args.comment)
 
     config = load_config(args.config)
     print_config(config)
@@ -67,7 +69,7 @@ if __name__ == "__main__":
     parser.add_argument("--no_tensorboard", action="store_true",
                         help="Do not log to tensorboard. Default: do log.")
     parser.add_argument("--wandb", action="store_true",
-                        help="Accepted for reference-CLI compatibility (wandb is not bundled).")
+                        help="Log to Weights & Biases (requires the wandb package).")
     parser.add_argument("--exp_id", type=str, help="Experiment ID.")
     parser.add_argument("--comment", type=str, help="Comment for the experiment.")
     parser.add_argument("--mesh", action="store_true",
