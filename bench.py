@@ -102,11 +102,11 @@ def bench_stage1_steps(preset: str):
 
     if preset == "full":
         b, v, res, p, n_obj, iters = 8, 50, 128, 512, 2347, 10
-        opts = pointnerf_default_options(
-            aggregator=dataclasses.replace(
-                pointnerf_default_options().aggregator, posenc_method="recurrence"
-            )
-        )
+        # posenc_method='direct' (the default): measured faster than the
+        # double-angle recurrence since the one-hot/flatten rework (the
+        # recurrence's stack forced a layout copy) and matches the
+        # reference op-for-op
+        opts = pointnerf_default_options()
         cfg = PointNeRFRenderConfig(
             train_rays=112, train_instance_chunk=50, compute_dtype=jnp.bfloat16
         )
@@ -160,11 +160,7 @@ def bench_render_rays(preset: str) -> float:
         # memory: pts/chunk = views * chunk * max_shading_pts; keep the
         # pair-MLP activations (~pts*8*256) within a few GB of HBM
         res, views, num_points, chunk, iters = 128, 2, 512, 2048, 5
-        opts = pointnerf_default_options(
-            aggregator=dataclasses.replace(
-                pointnerf_default_options().aggregator, posenc_method="recurrence"
-            )
-        )
+        opts = pointnerf_default_options()
     else:
         res, views, num_points, chunk, iters = 32, 2, 64, 1024, 2
         opts = pointnerf_default_options(num_points=num_points, feat_dim=32)
@@ -176,8 +172,9 @@ def bench_render_rays(preset: str) -> float:
 
     pn = PointNeRF(
         n_obj=1, feats_dim=32, num_points=num_points, opts=opts,
-        # eval render keeps f32 compute: measured faster than bf16 at these
-        # chunk shapes (cast overhead dominates) and parity-safe
+        # eval render keeps f32 compute for PSNR/FID parity (bf16 measured
+        # ~5% faster at these shapes; use it via compute_dtype if parity
+        # is not at stake)
         render_config=PointNeRFRenderConfig(eval_ray_chunk=chunk),
     )
     params = pn.init_params(jax.random.PRNGKey(0))

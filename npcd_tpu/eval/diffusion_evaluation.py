@@ -164,11 +164,12 @@ class DiffusionEvaluation:
 
     def _save_qualitative(self, images: np.ndarray, sample_idx: int):
         try:
-            from PIL import Image
+            from ..utils.vis import vis_image
 
-            Image.fromarray((images[0] * 255).astype(np.uint8)).save(
-                osp.join(self.out_dir, f"sample{sample_idx:04d}.png")
-            )
+            # a few of the fixed test poses side by side (reference logs
+            # pose batches, diffusion_evaluation.py:200-203)
+            img = vis_image(images[:4].transpose(0, 3, 1, 2), full_batch=True)
+            img.save(osp.join(self.out_dir, f"sample{sample_idx:04d}.png"))
         except Exception as e:
             logging.warning(f"qualitative save failed: {e}")
 

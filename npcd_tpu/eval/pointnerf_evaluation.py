@@ -129,13 +129,14 @@ class PointNeRFEvaluation:
 
     def _save_qualitative(self, channels, gt, resolution, idx):
         try:
-            from PIL import Image
+            from ..utils.vis import vis_image
 
-            img = np.clip(channels[0].reshape(resolution, resolution, 3), 0, 1)
-            gt_img = np.clip(gt[0].reshape(resolution, resolution, 3), 0, 1)
-            both = np.concatenate([img, gt_img], axis=1)
-            Image.fromarray((both * 255).astype(np.uint8)).save(
-                osp.join(self.out_dir, f"qualitative_{idx:05d}.png")
+            pred = channels[0].reshape(resolution, resolution, 3)
+            gt_img = gt[0].reshape(resolution, resolution, 3)
+            img = vis_image(
+                np.stack([pred, gt_img]), full_batch=True,
+                batch_labels=["pred", "gt"], text_off=False,
             )
+            img.save(osp.join(self.out_dir, f"qualitative_{idx:05d}.png"))
         except Exception as e:  # qualitative output is best-effort
             logging.warning(f"qualitative save failed: {e}")

@@ -56,7 +56,10 @@ def apply_mlp(
     """Apply an init_mlp stack; activation after every layer except the last
     when final_linear (matching define_mlp's trailing Linear)."""
     if act == "leaky_relu":
-        act_fn = lambda h: jax.nn.leaky_relu(h, negative_slope=0.01)
+        # max(x, 0.01x) == leaky_relu(x) exactly, but fuses as pure
+        # arithmetic: jax.nn.leaky_relu's where() made XLA materialize
+        # [*, 256] u8 predicate tensors (~50 ms/render in the eval path)
+        act_fn = lambda h: jnp.maximum(h, 0.01 * h)
     elif act == "relu":
         act_fn = jax.nn.relu
     else:

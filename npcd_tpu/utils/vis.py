@@ -1,26 +1,21 @@
 """Image/array visualization helpers.
 
-Rebuild of the reference vis utilities (npcd/utils/vis.py): tensor -> PIL
-image with value-range handling, optional colormap for scalar maps (depth),
-and batch tiling into image grids. Used by qualitative eval outputs and the
-tensorboard writer.
+Rebuild of the reference vis utilities (npcd/utils/vis.py): array/image ->
+PIL with value-range handling, colormaps for scalar maps (depth), text and
+label overlays, invalid-value marking, batch tiling (column/row-wise with
+size equalization), and output-format conversion. The dispatching entry
+point `vis(arr)` mirrors the reference's shape conventions
+(vis.py:158-189): 2D arrays, [3, H, W] images, and batches of either.
+
+Used by the qualitative outputs of both evaluation pipelines and by the
+tensorboard/wandb image writers.
 """
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
-
-
-def _to_hwc(arr: np.ndarray) -> np.ndarray:
-    arr = np.asarray(arr)
-    if arr.ndim == 2:
-        arr = arr[..., None]
-    if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
-        arr = np.moveaxis(arr, 0, -1)  # CHW -> HWC
-    return arr
-
 
 _TURBO_ANCHORS = np.array(
     [
@@ -30,48 +25,252 @@ _TURBO_ANCHORS = np.array(
     ],
     dtype=np.float32,
 )
+_GRAY_ANCHORS = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.float32)
+_CMAPS = {"turbo": _TURBO_ANCHORS, "gray": _GRAY_ANCHORS}
 
 
-def _colormap(x: np.ndarray) -> np.ndarray:
-    """x in [0, 1] -> RGB via a compact turbo-like colormap."""
+def _to_np(arr) -> np.ndarray:
+    if hasattr(arr, "device_buffer") or type(arr).__module__.startswith("jax"):
+        arr = np.asarray(arr)
+    if hasattr(arr, "detach"):  # torch tensor
+        arr = arr.detach().cpu().numpy()
+    return np.asarray(arr, np.float32)
+
+
+def _colormap(x: np.ndarray, cmap: str = "turbo") -> np.ndarray:
+    """x in [0, 1] -> RGB in [0, 1] via piecewise-linear anchor blending."""
+    anchors = _CMAPS[cmap]
     x = np.clip(x, 0.0, 1.0)
-    pos = x * (len(_TURBO_ANCHORS) - 1)
+    pos = x * (len(anchors) - 1)
     lo = np.floor(pos).astype(int)
-    hi = np.minimum(lo + 1, len(_TURBO_ANCHORS) - 1)
+    hi = np.minimum(lo + 1, len(anchors) - 1)
     frac = (pos - lo)[..., None]
-    return (_TURBO_ANCHORS[lo] * (1 - frac) + _TURBO_ANCHORS[hi] * frac) / 255.0
+    return (anchors[lo] * (1 - frac) + anchors[hi] * frac) / 255.0
 
 
-def vis(
-    image: np.ndarray,
-    clipping: bool = True,
-    lower_clipping_thresh: Optional[float] = None,
+def invalidate_np_array(
+    arr: np.ndarray,
+    clipping: bool = False,
     upper_clipping_thresh: Optional[float] = None,
-    colorize_scalar: bool = True,
-):
-    """Array -> PIL.Image. image: [H, W], [H, W, 1|3] or [1|3, H, W] float."""
+    lower_clipping_thresh: Optional[float] = None,
+    invalid_values: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """NaN-out invalid/clipped entries (reference vis.py:642-676)."""
+    arr = np.array(arr, np.float32, copy=True)
+    if invalid_values is not None:
+        for v in invalid_values:
+            arr[arr == v] = np.nan
+    arr[~np.isfinite(arr)] = np.nan
+    if clipping:
+        if upper_clipping_thresh is not None:
+            arr[arr > upper_clipping_thresh] = np.nan
+        if lower_clipping_thresh is not None:
+            arr[arr < lower_clipping_thresh] = np.nan
+    return arr
+
+
+def add_text_to_img(img, text: str, pos=(2, 2), color=(255, 255, 255),
+                    size: Optional[int] = None, background: bool = True):
+    """Draw `text` onto a PIL image (reference vis.py:543-...); best-effort
+    default font."""
+    from PIL import ImageDraw
+
+    draw = ImageDraw.Draw(img)
+    font = None
+    if size is not None:
+        try:
+            from PIL import ImageFont
+
+            font = ImageFont.load_default(size=size)
+        except Exception:
+            font = None
+    if background:
+        bbox = draw.textbbox(pos, text, font=font)
+        draw.rectangle(bbox, fill=(0, 0, 0))
+    draw.text(pos, text, fill=color, font=font)
+    return img
+
+
+def _equalize_sizes(imgs):
+    """Pad PIL images to a common size (reference vis.py:122-136)."""
     from PIL import Image
 
-    arr = _to_hwc(np.asarray(image, np.float32))
-    lo = lower_clipping_thresh if lower_clipping_thresh is not None else float(np.nanmin(arr))
-    hi = upper_clipping_thresh if upper_clipping_thresh is not None else float(np.nanmax(arr))
-    if clipping:
-        arr = np.clip(arr, lo, hi)
-    if hi > lo:
-        normed = (arr - lo) / (hi - lo) if (lo, hi) != (0.0, 1.0) else arr
-    else:
-        normed = np.zeros_like(arr)
+    w = max(i.width for i in imgs)
+    h = max(i.height for i in imgs)
+    out = []
+    for i in imgs:
+        if i.size == (w, h):
+            out.append(i)
+        else:
+            canvas = Image.new("RGB", (w, h))
+            canvas.paste(i, (0, 0))
+            out.append(canvas)
+    return out
 
-    if arr.shape[-1] == 1:
-        rgb = _colormap(normed[..., 0]) if colorize_scalar else np.repeat(normed, 3, -1)
-    else:
-        rgb = normed
-    return Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+
+def cat_images_colwise(imgs):
+    """Concatenate PIL images side by side (reference vis.py:138-146)."""
+    from PIL import Image
+
+    imgs = _equalize_sizes(list(imgs))
+    w, h = imgs[0].size
+    canvas = Image.new("RGB", (w * len(imgs), h))
+    for i, im in enumerate(imgs):
+        canvas.paste(im, (i * w, 0))
+    return canvas
+
+
+def cat_images_rowwise(imgs):
+    """Concatenate PIL images top to bottom (reference vis.py:148-156)."""
+    from PIL import Image
+
+    imgs = _equalize_sizes(list(imgs))
+    w, h = imgs[0].size
+    canvas = Image.new("RGB", (w, h * len(imgs)))
+    for i, im in enumerate(imgs):
+        canvas.paste(im, (0, i * h))
+    return canvas
+
+
+def _finish(img, text, label, text_off, out_format):
+    if not text_off:
+        overlays = [t for t in (label, text) if t]
+        if overlays:
+            add_text_to_img(img, " | ".join(overlays))
+    if out_format in ("np", "numpy"):
+        return np.asarray(img, np.uint8)
+    return img
+
+
+def _vis_single_2d_array(
+    arr: np.ndarray,
+    colorize: bool = True,
+    clipping: bool = False,
+    upper_clipping_thresh: Optional[float] = None,
+    lower_clipping_thresh: Optional[float] = None,
+    invalid_values: Optional[Sequence[float]] = None,
+    mark_invalid: bool = False,
+    invalid_color=(128, 128, 128),
+    text: Optional[str] = None,
+    label: Optional[str] = None,
+    cmap: str = "turbo",
+    image_range_text_off: bool = False,
+    text_off: bool = False,
+    out_format: Optional[str] = None,
+):
+    """Scalar 2D map -> colorized PIL image with range annotation
+    (reference vis.py:253-388)."""
+    from PIL import Image
+
+    arr = invalidate_np_array(
+        arr, clipping, upper_clipping_thresh, lower_clipping_thresh,
+        invalid_values,
+    )
+    finite = np.isfinite(arr)
+    lo = float(np.nanmin(arr)) if finite.any() else 0.0
+    hi = float(np.nanmax(arr)) if finite.any() else 1.0
+    normed = (arr - lo) / (hi - lo) if hi > lo else np.zeros_like(arr)
+    normed = np.nan_to_num(normed, nan=0.0)
+
+    rgb = _colormap(normed, cmap) if colorize else np.repeat(normed[..., None], 3, -1)
+    if mark_invalid:
+        rgb[~finite] = np.asarray(invalid_color, np.float32) / 255.0
+    img = Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+
+    if not image_range_text_off and not text_off:
+        range_text = f"[{lo:.3g}, {hi:.3g}]"
+        text = f"{text} {range_text}" if text else range_text
+    return _finish(img, text, label, text_off, out_format)
+
+
+def _vis_single_image(
+    img: np.ndarray,
+    clipping: bool = True,
+    upper_clipping_thresh: Optional[float] = 1.0,
+    lower_clipping_thresh: Optional[float] = 0.0,
+    text: Optional[str] = None,
+    label: Optional[str] = None,
+    text_off: bool = True,
+    out_format: Optional[str] = None,
+):
+    """[3, H, W] or [H, W, 3] float image in [0, 1] -> PIL
+    (reference vis.py:434-541)."""
+    from PIL import Image
+
+    img = _to_np(img)
+    if img.ndim == 3 and img.shape[0] == 3 and img.shape[-1] != 3:
+        img = np.moveaxis(img, 0, -1)
+    if clipping:
+        img = np.clip(img, lower_clipping_thresh, upper_clipping_thresh)
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return _finish(pil, text, label, text_off, out_format)
+
+
+def _vis_batch(singles_fn, arr, full_batch, batch_labels, **kwargs):
+    if not full_batch:
+        return singles_fn(arr[0], **kwargs)
+    imgs = []
+    for idx, ele in enumerate(arr):
+        kw = dict(kwargs)
+        if batch_labels is not None:
+            kw["label"] = batch_labels[idx]
+        imgs.append(singles_fn(ele, **kw))
+    return cat_images_rowwise(imgs) if full_batch == "rows" else cat_images_colwise(imgs)
+
+
+def vis_2d_array(arr, full_batch=False, batch_labels=None, **kwargs):
+    """2D array or batch thereof -> PIL (reference vis.py:211-251).
+
+    full_batch: False = first sample only; True/'cols' = side-by-side;
+    'rows' = stacked vertically."""
+    arr = _to_np(arr)
+    assert 2 <= arr.ndim <= 4, arr.shape
+    if arr.ndim == 4:
+        assert arr.shape[1] == 1, arr.shape
+        arr = arr[:, 0]
+    if arr.ndim == 2:
+        return _vis_single_2d_array(arr, **kwargs)
+    return _vis_batch(_vis_single_2d_array, arr, full_batch, batch_labels, **kwargs)
+
+
+def vis_image(img, full_batch=False, batch_labels=None, **kwargs):
+    """[3, H, W]/[H, W, 3] image or batch -> PIL (reference vis.py:390-432)."""
+    img = _to_np(img)
+    assert 3 <= img.ndim <= 4, img.shape
+    if img.ndim == 3:
+        return _vis_single_image(img, **kwargs)
+    return _vis_batch(_vis_single_image, img, full_batch, batch_labels, **kwargs)
+
+
+def vis(arr, **kwargs):
+    """Shape-dispatching visualization (reference vis.py:158-189):
+    2D -> scalar map; [3, H, W] -> image; batches of either."""
+    arr = _to_np(arr)
+    if arr.ndim == 2:
+        return vis_2d_array(arr, **kwargs)
+    if arr.ndim == 3:
+        return vis_image(arr, **kwargs) if arr.shape[0] == 3 else vis_2d_array(arr, **kwargs)
+    if arr.ndim == 4:
+        if arr.shape[1] == 3:
+            return vis_image(arr, **kwargs)
+        assert arr.shape[1] == 1, f"cannot visualize shape {arr.shape}"
+        return vis_2d_array(arr, **kwargs)
+    raise ValueError(f"cannot visualize shape {arr.shape}")
+
+
+def check_vis(arr) -> bool:
+    """Whether vis() can handle the array shape (reference vis.py:193-209)."""
+    nd = np.ndim(arr)
+    if nd in (2, 3):
+        return True
+    if nd == 4:
+        return np.shape(arr)[1] in (1, 3)
+    return False
 
 
 def tile_images(images: Sequence[np.ndarray], cols: Optional[int] = None) -> np.ndarray:
     """Stack a list of same-shaped [H, W, 3] arrays into one grid image."""
-    images = [np.asarray(_to_hwc(im), np.float32) for im in images]
+    images = [_to_np(im) for im in images]
     n = len(images)
     cols = cols or math.ceil(math.sqrt(n))
     rows = math.ceil(n / cols)
