@@ -220,6 +220,60 @@ class GaussianDiffusion:
             f_recon,
         )
 
+    def calc_bpd_loop(self, rng: jax.Array, denoise_fn: DenoiseFn,
+                      coords_start, feats_start):
+        """Full variational-bound diagnostics over all T timesteps as one
+        lax.scan (reference gaussian_diffusion.py:243-307 runs a Python
+        loop of 1000 denoiser forwards).
+
+        Returns a dict with, for each of coords/feats: total_bpd [N],
+        vb [N, T], prior_bpd [N], xstart_mse [N, T], mse [N, T]. Timestep
+        axis is ordered t = T-1 .. 0, matching the reference."""
+        n = coords_start.shape[0]
+
+        def step(rng, t_scalar):
+            rng, rng_c, rng_f = jax.random.split(rng, 3)
+            t = jnp.full((n,), t_scalar, dtype=jnp.int32)
+            noise_c = jax.random.normal(rng_c, coords_start.shape, coords_start.dtype)
+            noise_f = jax.random.normal(rng_f, feats_start.shape, feats_start.dtype)
+            coords_t = self.q_sample(coords_start, t, noise_c)
+            feats_t = self.q_sample(feats_start, t, noise_f)
+            vb_c, recon_c, vb_f, recon_f = self._vb_terms_bpd(
+                denoise_fn, coords_start, coords_t, feats_start, feats_t, t
+            )
+            out = {
+                "vb_coords": vb_c,
+                "vb_feats": vb_f,
+                "xstart_mse_coords": mean_flat((recon_c - coords_start) ** 2),
+                "xstart_mse_feats": mean_flat((recon_f - feats_start) ** 2),
+                "mse_coords": mean_flat(
+                    (self.predict_eps_from_xstart(coords_t, t, recon_c) - noise_c) ** 2
+                ),
+                "mse_feats": mean_flat(
+                    (self.predict_eps_from_xstart(feats_t, t, recon_f) - noise_f) ** 2
+                ),
+            }
+            return rng, out
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+        _, per_t = jax.lax.scan(step, rng, ts)  # each [T, N]
+        per_t = {k: jnp.transpose(v) for k, v in per_t.items()}  # [N, T]
+
+        prior_c = self.prior_bpd(coords_start)
+        prior_f = self.prior_bpd(feats_start)
+        return {
+            "total_bpd_coords": per_t["vb_coords"].sum(axis=1) + prior_c,
+            "vb_coords": per_t["vb_coords"],
+            "prior_bpd_coords": prior_c,
+            "xstart_mse_coords": per_t["xstart_mse_coords"],
+            "mse_coords": per_t["mse_coords"],
+            "total_bpd_feats": per_t["vb_feats"].sum(axis=1) + prior_f,
+            "vb_feats": per_t["vb_feats"],
+            "prior_bpd_feats": prior_f,
+            "xstart_mse_feats": per_t["xstart_mse_feats"],
+            "mse_feats": per_t["mse_feats"],
+        }
+
     def prior_bpd(self, x_start):
         n = x_start.shape[0]
         t = jnp.full((n,), self.num_timesteps - 1, dtype=jnp.int32)

@@ -102,3 +102,40 @@ def test_vb_terms_finite(gd):
     ft = gd.q_sample(f0, t, jnp.zeros_like(f0))
     kl_c, _, kl_f, _ = gd._vb_terms_bpd(zero, c0, ct, f0, ft, t)
     assert np.isfinite(np.asarray(kl_c)).all() and np.isfinite(np.asarray(kl_f)).all()
+
+
+def test_calc_bpd_loop_perfect_denoiser():
+    """With an oracle denoiser that returns the exact noise, the posterior
+    matches q exactly: KL terms ~0, eps-MSE ~0, total_bpd ~ prior + decoder
+    NLL at t=0."""
+    import numpy as np
+    from npcd_tpu.models.diffusion.schedule import make_schedule
+    from npcd_tpu.models.diffusion.gaussian_diffusion import GaussianDiffusion
+
+    gd = GaussianDiffusion(make_schedule(num_diffusion_steps=50))
+    rng = jax.random.PRNGKey(0)
+    x0_c = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8)) * 0.1
+    x0_f = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8)) * 0.1
+
+    s = gd.schedule
+
+    def oracle(coords_t, feats_t, t):
+        # exact eps implied by (x_t, x_0)
+        def eps(x_t, x_0):
+            a = x_t - jnp.reshape(s.sqrt_alphas_cumprod[t], (-1, 1, 1)) * x_0
+            return a / jnp.reshape(s.sqrt_one_minus_alphas_cumprod[t], (-1, 1, 1))
+        return eps(coords_t, x0_c), eps(feats_t, x0_f)
+
+    out = jax.jit(lambda r: gd.calc_bpd_loop(r, oracle, x0_c, x0_f))(rng)
+    assert out["vb_coords"].shape == (2, 50)
+    assert out["total_bpd_coords"].shape == (2,)
+    # all KL terms except t=0 (decoder NLL) vanish for the oracle
+    np.testing.assert_allclose(np.asarray(out["vb_coords"][:, :-1]), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["mse_coords"]), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["xstart_mse_feats"]), 0.0, atol=1e-4)
+    # total = sum(vb) + prior, by construction
+    np.testing.assert_allclose(
+        np.asarray(out["total_bpd_feats"]),
+        np.asarray(out["vb_feats"].sum(1) + out["prior_bpd_feats"]),
+        rtol=1e-6,
+    )

@@ -134,3 +134,84 @@ def test_dp_train_step_matches_single_device():
         jax.tree_util.tree_leaves(new_dp.ema_params[0]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_stage1_sharded_embedding_tables_match_single_device():
+    """Embedding tables row-sharded over the 'data' axis (the dominant
+    stage-1 state) must reproduce the single-device step; MLPs replicated.
+    New capability vs the single-GPU reference (SURVEY.md §2.10)."""
+    import dataclasses
+
+    from npcd_tpu.losses import PointNeRFLossWeights
+    from npcd_tpu.models.pointnerf import PointNeRF, PointNeRFRenderConfig
+    from npcd_tpu.parallel import (
+        pointnerf_param_shardings,
+        shard_pointnerf_params,
+    )
+    from npcd_tpu.train.pointnerf_training import (
+        PointNeRFTrainState,
+        make_pointnerf_optimizer,
+        make_pointnerf_train_step,
+    )
+    from npcd_tpu.data.synthetic import random_cameras
+    from npcd_tpu.utils.config import pointnerf_default_options
+
+    n_obj, p, v, res = 8, 32, 2, 16
+    opts = pointnerf_default_options(num_points=p, feat_dim=8)
+    opts = dataclasses.replace(
+        opts,
+        renderer=dataclasses.replace(opts.renderer, depth_resolution=24,
+                                     ray_subsamples=32),
+        aggregator=dataclasses.replace(opts.aggregator, max_shading_pts=8),
+        default_resolution=res,
+    )
+    pn = PointNeRF(n_obj=n_obj, feats_dim=8, num_points=p, opts=opts,
+                   render_config=PointNeRFRenderConfig(
+                       train_rays=16, train_instance_chunk=v * 8))
+    params = pn.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (n_obj, p, 3),
+                                minval=-0.4, maxval=0.4)
+    params = pn.set_all_coords(params, coords)
+    tx = make_pointnerf_optimizer(1e-3)
+    extr, intr = random_cameras(v, res, seed=0)
+    batch = {
+        "obj_idx": jnp.arange(n_obj),
+        "images": jax.random.uniform(jax.random.PRNGKey(2), (n_obj, v, res * res, 3)),
+        "intrinsics": jnp.tile(jnp.asarray(intr)[None], (n_obj, 1, 1, 1)),
+        "extrinsics": jnp.tile(jnp.asarray(extr)[None], (n_obj, 1, 1, 1)),
+    }
+    rng = jax.random.PRNGKey(3)
+    step = make_pointnerf_train_step(
+        pn, tx, PointNeRFLossWeights(1.0, 1e-7, 3.5e-7), donate=False)
+
+    ref_new, ref_metrics = step(
+        PointNeRFTrainState(params=params, opt_state=tx.init(params),
+                            step=jnp.zeros((), jnp.int32)), batch, rng)
+
+    mesh = make_mesh()
+    params_sh = shard_pointnerf_params(params, mesh)
+    batch_sh = shard_batch(batch, mesh)
+    state_sh = PointNeRFTrainState(
+        params=params_sh, opt_state=tx.init(params_sh),
+        step=jnp.zeros((), jnp.int32))
+    sh_new, sh_metrics = step(state_sh, batch_sh, rng)
+
+    assert float(sh_metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref_new.params)[0],
+        jax.tree_util.tree_flatten_with_path(sh_new.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+    # updated tables keep their row sharding
+    want = pointnerf_param_shardings(params, mesh)
+    for got_leaf, want_leaf, (kp, _) in zip(
+        jax.tree_util.tree_leaves(sh_new.params),
+        jax.tree_util.tree_leaves(want),
+        jax.tree_util.tree_flatten_with_path(params)[0],
+    ):
+        if "table" in jax.tree_util.keystr(kp):
+            assert got_leaf.sharding.is_equivalent_to(want_leaf, got_leaf.ndim), (
+                jax.tree_util.keystr(kp), got_leaf.sharding)
