@@ -56,6 +56,33 @@ def compact_valid_samples(
     return depths_c, mask
 
 
+@jax.custom_vjp
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [B, P, C], idx [B, ..., ] int -> [B, ..., C] via one-hot MXU
+    matmul. Backward saves only the indices and recomputes the one-hot, so
+    no [.., P] tensor is ever kept as a residual; dtable is again a matmul
+    (the dense analogue of index_add_)."""
+    onehot = jax.nn.one_hot(idx, table.shape[1], dtype=table.dtype)
+    return jnp.einsum("b...p,bpc->b...c", onehot, table)
+
+
+def _gather_rows_fwd(table, idx):
+    # token carries P and the dtype through the residuals (residuals must
+    # be jax types)
+    token = jnp.zeros((table.shape[1], 0), table.dtype)
+    return gather_rows(table, idx), (idx, token)
+
+
+def _gather_rows_bwd(res, g):
+    idx, token = res
+    onehot = jax.nn.one_hot(idx, token.shape[0], dtype=token.dtype)
+    dtable = jnp.einsum("b...p,b...c->bpc", onehot, g.astype(token.dtype))
+    return dtable, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def knn_neighbors(
     shading_pts: jnp.ndarray,
     pts_mask: jnp.ndarray,
@@ -108,16 +135,12 @@ def aggregate_features(
     # run on the scalar core at ~60 cycles/row (measured 350 ms/step at the
     # SRN config); XLA streams the iota-compare one-hot into the matmul, so
     # this is pure MXU work and the feature-gather *backward* becomes a
-    # matmul as well (instead of a segment-sum scatter).
-    p_dim = kp_pos.shape[1]
-    onehot32 = jax.nn.one_hot(idx, p_dim, dtype=jnp.float32)  # [B, N, k, P]
-    nb_pos = jnp.einsum(
-        "bnkp,bpc->bnkc", onehot32, kp_pos
-    )  # [B, N, k, 3] (f32: positions feed distances/weights)
-    nb_feat = jnp.einsum(
-        "bnkp,bpc->bnkc",
-        onehot32.astype(compute_dtype),
-        kp_feat.astype(compute_dtype),
+    # matmul as well (instead of a segment-sum scatter). gather_rows is a
+    # custom_vjp so only the s32 indices are saved for the backward — a
+    # saved one-hot would be [B, N, k, P] (~18 GB/step at the SRN config).
+    nb_pos = gather_rows(kp_pos, idx)  # [B, N, k, 3] f32: feeds dist/weights
+    nb_feat = gather_rows(
+        kp_feat.astype(compute_dtype), idx
     ).astype(kp_feat.dtype)  # [B, N, k, F]
 
     x_rel = shading_pts[:, :, None, :] - nb_pos  # [B, N, k, 3]

@@ -52,9 +52,15 @@ def apply_mlp(
     act: str = "leaky_relu",
     final_linear: bool = True,
     compute_dtype: Any = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Apply an init_mlp stack; activation after every layer except the last
-    when final_linear (matching define_mlp's trailing Linear)."""
+    when final_linear (matching define_mlp's trailing Linear).
+
+    impl='auto' dispatches large leaky-relu stacks on TPU to the fused
+    Pallas kernel (ops/pallas/fused_mlp.py), which keeps every intermediate
+    activation in VMEM — XLA materializes each [M, width] layer output in
+    HBM, the dominant traffic of the stage-1 train step."""
     if act == "leaky_relu":
         # max(x, 0.01x) == leaky_relu(x) exactly, but fuses as pure
         # arithmetic: jax.nn.leaky_relu's where() made XLA materialize
@@ -67,6 +73,38 @@ def apply_mlp(
 
     n = len(layers)
     h = x if compute_dtype is None else x.astype(compute_dtype)
+
+    if impl == "auto":
+        rows = 1
+        for d in h.shape[:-1]:
+            rows *= d
+        impl = (
+            "pallas"
+            if (
+                jax.default_backend() == "tpu"
+                and act == "leaky_relu"
+                and final_linear
+                and rows >= 4096
+                and max(max(l["w"].shape) for l in layers) <= 512
+                # bf16 only: at f32 the XLA pipeline overlaps better
+                # (measured 143k vs 116k eval rays/s)
+                and h.dtype == jnp.bfloat16
+            )
+            else "xla"
+        )
+    if impl == "pallas":
+        from ...ops.pallas.fused_mlp import fused_mlp
+
+        weights = []
+        for layer in layers:
+            w, b = layer["w"], layer["b"]
+            if compute_dtype is not None:
+                w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+            weights.append((w, b))
+        h3 = h if h.ndim == 3 else h.reshape(1, -1, h.shape[-1])
+        out = fused_mlp(h3, tuple(weights), final_linear)
+        return out.reshape(*h.shape[:-1], out.shape[-1])
+
     for i, layer in enumerate(layers):
         w, b = layer["w"], layer["b"]
         if compute_dtype is not None:

@@ -49,6 +49,11 @@ class PointNeRFRenderConfig:
     # of the loss instead.
     train_rays: int = 112
     train_instance_chunk: int = 50  # view-instances per remat chunk in training
+    # rematerialize the chunked field pass in training. With the fused
+    # Pallas MLP (ops/pallas/fused_mlp.py) the big intermediates never
+    # reach HBM, so the remaining residuals fit and recomputing the chunk
+    # forward is pure waste; set True for configs that exceed HBM.
+    train_remat: bool = False
     train_ray_chunk: int = 256      # kept for bwd-compat; training chunks instances
     eval_ray_chunk: int = 4096      # rays per chunk in eval
     compute_dtype: Any = jnp.float32
@@ -242,9 +247,9 @@ class PointNeRF:
             n_chunks = (i_dim + pad_i) // ic
             xs = tuple(a.reshape(n_chunks, ic, *a.shape[1:]) for a in arrays)
 
-            body_fn = jax.checkpoint(
-                lambda c: field_chunk(*c[:7], neighbors=(c[7], c[8]))
-            )
+            body_fn = lambda c: field_chunk(*c[:7], neighbors=(c[7], c[8]))
+            if self.cfg.train_remat:
+                body_fn = jax.checkpoint(body_fn)
             outs = jax.lax.map(body_fn, xs)  # dict of [C, ic, R, ...]
             out = {
                 k: v.reshape(n_chunks * ic, *v.shape[2:])[:i_dim]
