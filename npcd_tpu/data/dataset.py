@@ -139,6 +139,12 @@ def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
                 and vals[0].dtype == np.float32
                 and len(vals) >= 4
                 and vals[0].nbytes >= 1 << 20
+                # every sample must match: the C++ collate memcpys
+                # arrays[0].size floats from each pointer
+                and all(
+                    v.shape == vals[0].shape and v.dtype == np.float32
+                    for v in vals[1:]
+                )
             ):
                 from .. import runtime
 

@@ -156,6 +156,10 @@ class MultiheadAttention(nn.Module):
         # [q|k|v] groups (transformer.py:71-73) so the Pallas kernel can map
         # tiled views of the fused tensor with zero HBM copies; the torch
         # weight converter permutes the columns once at load time.
+        # NOTE: jax checkpoints saved before this layout change (any
+        # pre-fused-qkv-kernel snapshot) hold per-head-ordered c_qkv columns
+        # and are NOT loadable into this model without the same permutation
+        # (convert_reference._permute_qkv_global applied to the kernel/bias).
         out = fused_qkv_attention(qkv, self.heads, impl=self.attn_impl)
         out = nn.Dense(
             self.width,

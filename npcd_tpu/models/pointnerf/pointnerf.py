@@ -49,11 +49,12 @@ class PointNeRFRenderConfig:
     # of the loss instead.
     train_rays: int = 112
     train_instance_chunk: int = 50  # view-instances per remat chunk in training
-    # rematerialize the chunked field pass in training. With the fused
-    # Pallas MLP (ops/pallas/fused_mlp.py) the big intermediates never
-    # reach HBM, so the remaining residuals fit and recomputing the chunk
-    # forward is pure waste; set True for configs that exceed HBM.
-    train_remat: bool = False
+    # rematerialize the chunked field pass in training. None = auto: off
+    # for bf16 compute (the fused Pallas MLP keeps intermediates in VMEM,
+    # so the remaining residuals fit HBM and the chunk recompute is pure
+    # waste) and ON for f32 compute, where the XLA MLP path materializes
+    # every [pairs, 256] activation (~100 GB unremated at the SRN config).
+    train_remat: Optional[bool] = None
     train_ray_chunk: int = 256      # kept for bwd-compat; training chunks instances
     eval_ray_chunk: int = 4096      # rays per chunk in eval
     compute_dtype: Any = jnp.float32
@@ -62,6 +63,11 @@ class PointNeRFRenderConfig:
     # aggregator.py:42-58, one fused kNN pass); 'voxel' = dilated voxel
     # occupancy window (the CUDA voxel-grid semantic)
     validity: str = "knn"
+
+    def resolved_train_remat(self) -> bool:
+        if self.train_remat is not None:
+            return self.train_remat
+        return self.compute_dtype != jnp.bfloat16
 
 
 class PointNeRF:
@@ -248,7 +254,7 @@ class PointNeRF:
             xs = tuple(a.reshape(n_chunks, ic, *a.shape[1:]) for a in arrays)
 
             body_fn = lambda c: field_chunk(*c[:7], neighbors=(c[7], c[8]))
-            if self.cfg.train_remat:
+            if self.cfg.resolved_train_remat():
                 body_fn = jax.checkpoint(body_fn)
             outs = jax.lax.map(body_fn, xs)  # dict of [C, ic, R, ...]
             out = {

@@ -48,9 +48,15 @@ def fused_qkv_attention(
     w = w3 // 3
     d = w // heads
     if impl == "auto":
+        from .pallas.fused_qkv_attention import _heads_per_block
+
+        hpb = _heads_per_block(heads, d)
         supported = (
             _on_tpu()
             and d in (64, 128)
+            # the head-group column width must tile the 128-lane dim
+            # (or span the whole third, i.e. hpb == heads with w % 128 == 0)
+            and (hpb * d) % 128 == 0
             and qkv.dtype in (jnp.float32, jnp.bfloat16)
         )
         impl = "pallas" if supported else "einsum"

@@ -79,8 +79,14 @@ def _bwd_kernel(x_ref, *refs, n_layers: int, final_linear: bool, rows: int):
         for a in acc_refs:
             a[...] = jnp.zeros_like(a)
 
-    # forward recompute, keeping each layer's input
-    hs = [x_ref[0]]
+    # forward recompute, keeping each layer's input. Mask input rows beyond
+    # the logical row count: the ragged last block's out-of-bounds loads are
+    # undefined and would poison dW = h^T g even with g zeroed (0 * NaN).
+    x = x_ref[0]
+    blk = x.shape[0]
+    row = blk_j * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    row_ok = row < rows
+    hs = [jnp.where(row_ok, x, 0)]
     h = hs[0]
     zs = []
     for l in range(n_layers):
@@ -90,13 +96,9 @@ def _bwd_kernel(x_ref, *refs, n_layers: int, final_linear: bool, rows: int):
         if l < n_layers - 1:
             hs.append(h)
 
-    g = g_ref[0].astype(jnp.float32)
-    # mask cotangent rows beyond the logical row count: the last ragged
-    # block's out-of-bounds loads are undefined, and zero rows of g null
-    # their dW contribution (dW = h^T g)
-    blk = g.shape[0]
-    row = blk_j * blk + jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-    g = jnp.where(row < rows, g, 0.0)
+    # mask cotangent rows beyond the logical row count as well (their dW
+    # contribution must be exactly zero)
+    g = jnp.where(row_ok, g_ref[0].astype(jnp.float32), 0.0)
 
     for l in range(n_layers - 1, -1, -1):
         if not (final_linear and l == n_layers - 1):

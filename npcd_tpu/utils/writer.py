@@ -117,11 +117,12 @@ def setup_writers(
     if wandb:
         try:
             _WRITERS.append(WandbWriter(out_dir, exp_id=exp_id, comment=comment))
-        except ImportError:
+        except Exception as e:  # import, auth, or network failures alike
             from . import logging
 
             logging.warning(
-                "wandb requested but not importable; continuing without it"
+                f"wandb requested but unavailable ({type(e).__name__}: {e}); "
+                "continuing without it"
             )
 
 

@@ -66,3 +66,41 @@ def test_fused_mlp_small_out_dim():
     except Exception as e:  # pragma: no cover
         pytest.skip(f"pallas interpret mode unavailable: {e}")
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_ragged_block_grads():
+    """Regression: the ragged last row-block (rows % block size != 0) must
+    not poison dW with out-of-bounds input rows (0 * garbage). Forces a
+    tiny block size so m=37 spans 3 blocks with a ragged tail."""
+    from npcd_tpu.ops.pallas import fused_mlp as fm
+
+    layers, _ = _setup(d_in=64, dims=(128,), d_out=128, m=37)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 37, 64))
+    ct = jax.random.normal(jax.random.PRNGKey(2), (1, 37, 128))
+    weights = tuple((l["w"], l["b"]) for l in layers)
+
+    def loss_ref(x, weights):
+        ls = [{"w": w, "b": b} for w, b in weights]
+        return (apply_mlp(ls, x, impl="xla") * ct).sum()
+
+    def loss_pl(x, weights):
+        return (fm.fused_mlp(x, weights, True) * ct).sum()
+
+    ref_dx, ref_dw = jax.grad(loss_ref, argnums=(0, 1))(x, weights)
+    orig_blk = fm._BLK
+    fm._BLK = 16
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            pl_dx, pl_dw = jax.grad(loss_pl, argnums=(0, 1))(x, weights)
+            pl_dx = np.asarray(pl_dx)
+            pl_dw = jax.tree_util.tree_map(np.asarray, pl_dw)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    finally:
+        fm._BLK = orig_blk
+    assert np.isfinite(pl_dx).all()
+    np.testing.assert_allclose(pl_dx, np.asarray(ref_dx), rtol=1e-4, atol=1e-5)
+    for (rw, rb), (pw, pb) in zip(ref_dw, pl_dw):
+        assert np.isfinite(pw).all() and np.isfinite(pb).all()
+        np.testing.assert_allclose(pw, np.asarray(rw), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(pb, np.asarray(rb), rtol=1e-4, atol=1e-5)

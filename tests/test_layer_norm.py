@@ -68,3 +68,46 @@ def test_layer_norm_bf16_io():
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_layer_norm_residual_values_and_grads():
+    """Fused residual-add LayerNorm (used by every transformer block on
+    TPU): values and all four gradients, incl. both incoming cotangents
+    (residual-stream gr and norm-consumer gy)."""
+    from npcd_tpu.ops.pallas.layer_norm import layer_norm_residual
+
+    n, s, w = 2, 9, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, s, w))
+    delta = jax.random.normal(jax.random.PRNGKey(1), (n, s, w))
+    gamma = jax.random.normal(jax.random.PRNGKey(2), (w,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(3), (w,))
+    gr = jax.random.normal(jax.random.PRNGKey(4), (n, s, w))
+    gy = jax.random.normal(jax.random.PRNGKey(5), (n, s, w))
+
+    def ref(x, delta, gamma, beta):
+        r = x + delta
+        return r, _ref_ln(r, gamma, beta)
+
+    def loss(fn):
+        def f(x, delta, gamma, beta):
+            r, y = fn(x, delta, gamma, beta)
+            return (r * gr).sum() + (y * gy).sum()
+        return f
+
+    r_ref, y_ref = ref(x, delta, gamma, beta)
+    ref_grads = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(x, delta, gamma, beta)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            r_pl, y_pl = layer_norm_residual(x, delta, gamma, beta)
+            pl_grads = jax.grad(loss(layer_norm_residual), argnums=(0, 1, 2, 3))(
+                x, delta, gamma, beta)
+            r_pl, y_pl = np.asarray(r_pl), np.asarray(y_pl)
+            pl_grads = jax.tree_util.tree_map(np.asarray, pl_grads)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(r_pl, np.asarray(r_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_pl, np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    for g_ref_, g_pl_, name in zip(ref_grads, pl_grads,
+                                   ("dx", "ddelta", "dgamma", "dbeta")):
+        np.testing.assert_allclose(np.asarray(g_ref_), g_pl_,
+                                   rtol=1e-4, atol=1e-5, err_msg=name)

@@ -19,8 +19,9 @@ import dataclasses
 import jax
 import numpy as np
 import pytest
-import torch
-import torch.nn.functional as F
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
 
 from npcd_tpu.models.pointnerf import PointNeRF, PointNeRFRenderConfig
 from npcd_tpu.utils.config import pointnerf_default_options
