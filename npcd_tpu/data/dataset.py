@@ -158,6 +158,37 @@ def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+def prefetch_to_device(iterable, transfer: Callable[[Any], Any], size: int = 2):
+    """Stage batches ahead of the consumer: a background thread runs the
+    host-side iterator (collate) and `transfer` (device_put/shard_batch —
+    async in JAX), so host work and H2D copies overlap the previous train
+    step instead of serializing with it. `size` bounds device-resident
+    staged batches. Producer exceptions re-raise in the consumer."""
+    import queue as _queue
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, size))
+    end = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(transfer(item))
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(e)
+            return
+        q.put(end)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class BatchLoader:
     """Shuffled epoch iterator over a Dataset, collating into numpy batches."""
 

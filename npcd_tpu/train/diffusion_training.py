@@ -27,6 +27,7 @@ import optax
 
 from ..models.diffusion import DiffusionModel, DiffusionState
 from ..models.diffusion.normalizers import NormalizerStats
+from ..data.dataset import prefetch_to_device
 from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
 from ..utils import logging, writer
 from ..utils.checkpoint import CheckpointSaver, save_weights_only
@@ -202,13 +203,16 @@ class DiffusionTraining:
         last_ckpt_time = time.time()
         t_print = time.time()
 
+        def to_device(batch):
+            batch = {k: v for k, v in batch.items() if k in ("coords", "feats")}
+            if self.mesh is not None:
+                return shard_batch(batch, self.mesh)
+            return jax.device_put(batch)
+
         while it < self.max_iterations:
-            for batch in loader:
+            for batch in prefetch_to_device(loader, to_device):
                 if it >= self.max_iterations:
                     break
-                batch = {k: v for k, v in batch.items() if k in ("coords", "feats")}
-                if self.mesh is not None:
-                    batch = shard_batch(batch, self.mesh)
                 rng_iter = jax.random.fold_in(self.rng, it)
                 self.state, metrics = self.train_step(self.state, batch, rng_iter)
                 it += 1

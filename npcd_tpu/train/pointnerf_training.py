@@ -21,6 +21,7 @@ import optax
 
 from ..losses import PointNeRFLossWeights, pointnerf_loss
 from ..models.pointnerf import PointNeRF
+from ..data.dataset import prefetch_to_device
 from ..parallel.mesh import replicate, shard_batch
 from ..utils import logging, writer
 from ..utils.checkpoint import CheckpointSaver, save_weights_only
@@ -175,16 +176,23 @@ class PointNeRFTraining:
         last_ckpt_time = time.time()
         t_print = time.time()
 
+        def to_device(batch):
+            feed = {
+                k: batch[k]
+                for k in ("obj_idx", "images", "intrinsics", "extrinsics")
+            }
+            if self.mesh is not None:
+                feed = shard_batch(feed, self.mesh)
+            else:
+                feed = jax.device_put(feed)
+            return feed, batch
+
         while it < self.max_iterations:
-            for batch in loader:
+            # collate + H2D transfer of the next batch overlaps the current
+            # step (stage-1 batches are ~150 MB of images)
+            for feed, batch in prefetch_to_device(loader, to_device):
                 if it >= self.max_iterations:
                     break
-                feed = {
-                    k: batch[k]
-                    for k in ("obj_idx", "images", "intrinsics", "extrinsics")
-                }
-                if self.mesh is not None:
-                    feed = shard_batch(feed, self.mesh)
                 rng_iter = jax.random.fold_in(self.rng, it)
                 self.state, metrics = self.train_step(self.state, feed, rng_iter)
                 it += 1
