@@ -21,17 +21,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _einsum_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, valid_len: int | None = None
+) -> jnp.ndarray:
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32))).astype(q.dtype)
     # [B, H, Sq, Sk]
     logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    logits = logits.astype(jnp.float32)
+    if valid_len is not None and valid_len < k.shape[1]:
+        key_idx = jnp.arange(k.shape[1])
+        logits = jnp.where(key_idx[None, None, None, :] < valid_len, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshc->bthc", weights, v)
 
 
 def fused_qkv_attention(
-    qkv: jnp.ndarray, heads: int, impl: str = "auto"
+    qkv: jnp.ndarray, heads: int, impl: str = "auto", valid_len: int | None = None
 ) -> jnp.ndarray:
     """Attention over fused qkv [B, S, 3W] in *global* [Q|K|V] channel order
     (heads contiguous within each third) -> [B, S, W].
@@ -41,12 +47,19 @@ def fused_qkv_attention(
     transpose, pad, or split (ops/pallas/fused_qkv_attention.py). Other
     impls split the thirds and go through multi_head_attention.
 
+    valid_len: if S carries padding tokens (the denoiser pads the sequence
+    to a sublane multiple so reshapes around the kernel are bitcasts), keys
+    at positions >= valid_len are masked out of the softmax. Pad-query
+    outputs are unspecified; callers discard them.
+
     Note the layout differs from the reference's per-head [q|k|v] groups
     (transformer.py:71-73); the weight converter permutes the projection
     columns once at load time."""
     b, s, w3 = qkv.shape
     w = w3 // 3
     d = w // heads
+    if valid_len is not None and valid_len >= s:
+        valid_len = None
     if impl == "auto":
         from .pallas.fused_qkv_attention import _heads_per_block
 
@@ -63,9 +76,9 @@ def fused_qkv_attention(
     if impl == "pallas":
         from .pallas.fused_qkv_attention import fused_qkv_attention as _kernel
 
-        return _kernel(qkv, heads)
+        return _kernel(qkv, heads, valid_len)
     q, k, v = (x.reshape(b, s, heads, d) for x in jnp.split(qkv, 3, axis=-1))
-    return multi_head_attention(q, k, v, impl=impl).reshape(b, s, w)
+    return multi_head_attention(q, k, v, impl=impl, valid_len=valid_len).reshape(b, s, w)
 
 
 def multi_head_attention(
@@ -73,12 +86,15 @@ def multi_head_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     impl: str = "auto",
+    valid_len: int | None = None,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention over [B, S, H, D] tensors."""
     if impl == "auto":
-        impl = "pallas" if _pallas_supported(q) else "einsum"
+        impl = "pallas" if _pallas_supported(q) and valid_len is None else "einsum"
     if impl == "einsum":
-        return _einsum_attention(q, k, v)
+        return _einsum_attention(q, k, v, valid_len)
+    if valid_len is not None:
+        raise NotImplementedError(f"valid_len masking not supported for impl={impl}")
     if impl == "xla":
         # XLA's fused attention path; scaling folded into the op.
         return jax.nn.dot_product_attention(q, k, v)

@@ -45,39 +45,56 @@ def _heads_per_block(heads: int, d: int) -> int:
     return heads
 
 
-def _attend(q, k, v, sm_scale):
+def _attend(q, k, v, sm_scale, valid_len=None):
+    # q/k stay in their storage dtype (bf16 in the denoiser): the MXU
+    # multiplies bf16 at full rate with f32 accumulation; converting the
+    # blocks to f32 first (the first-generation kernel) forced the ~4x
+    # slower f32 MXU path and capped the whole attention family at
+    # ~54 TFLOPS on v5e. Softmax statistics remain f32.
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale  # [S, S]
+    ) * sm_scale  # [S, S] f32
+    if valid_len is not None and valid_len < q.shape[0]:
+        # keys beyond valid_len are padding tokens (the caller pads S up to
+        # a sublane multiple so HBM reshapes around the kernel are bitcasts)
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_idx < valid_len, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, hpb: int, sm_scale: float):
-    xq = q_ref[0].astype(jnp.float32)  # [S, hpb*D]
-    xk = k_ref[0].astype(jnp.float32)
-    xv = v_ref[0].astype(jnp.float32)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, hpb: int,
+                sm_scale: float, valid_len):
+    xq = q_ref[0]  # [S, hpb*D], storage dtype
+    xk = k_ref[0]
+    xv = v_ref[0]
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
-        p = _attend(xq[:, sl], xk[:, sl], xv[:, sl], sm_scale)
-        o = jnp.dot(p, xv[:, sl], preferred_element_type=jnp.float32)
+        p = _attend(xq[:, sl], xk[:, sl], xv[:, sl], sm_scale, valid_len)
+        # cast p to the IO dtype for the PV matmul — identical to the einsum
+        # fallback's weights.astype(q.dtype) (ops/attention.py) and keeps the
+        # MXU on the fast path; accumulation stays f32
+        o = jnp.dot(p.astype(xv.dtype), xv[:, sl], preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                *, d: int, hpb: int, sm_scale: float):
-    xq = q_ref[0].astype(jnp.float32)
-    xk = k_ref[0].astype(jnp.float32)
-    xv = v_ref[0].astype(jnp.float32)
-    xg = g_ref[0].astype(jnp.float32)
+                *, d: int, hpb: int, sm_scale: float, valid_len):
+    # all matmul operands in storage dtype (f32 accumulate) — see _attend
+    xq = q_ref[0]
+    xk = k_ref[0]
+    xv = v_ref[0]
+    xg = g_ref[0]
+    io = xq.dtype
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
         q, k, v, g = xq[:, sl], xk[:, sl], xv[:, sl], xg[:, sl]
-        p = _attend(q, k, v, sm_scale)  # [S, S]
+        p = _attend(q, k, v, sm_scale, valid_len)  # [S, S] f32
+        pc = p.astype(io)
         dv = jax.lax.dot_general(
-            p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            pc, g, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
@@ -85,7 +102,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
             preferred_element_type=jnp.float32,
         )
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = p * (dp - delta) * sm_scale
+        ds = (p * (dp - delta) * sm_scale).astype(io)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -108,7 +125,7 @@ def _specs(s, w, hpb_cols, n_groups):
     return at
 
 
-def _fwd_impl(qkv, heads):
+def _fwd_impl(qkv, heads, valid_len):
     b, s, w3 = qkv.shape
     w = w3 // 3
     d = w // heads
@@ -116,7 +133,8 @@ def _fwd_impl(qkv, heads):
     cols = hpb * d
     at = _specs(s, w, cols, heads // hpb)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, d=d, hpb=hpb, sm_scale=1.0 / (d ** 0.5)),
+        functools.partial(_fwd_kernel, d=d, hpb=hpb,
+                          sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
         out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
         grid=(b, heads // hpb),
         in_specs=[at(0), at(1), at(2)],
@@ -126,7 +144,7 @@ def _fwd_impl(qkv, heads):
     return out
 
 
-def _bwd_impl(qkv, g, heads):
+def _bwd_impl(qkv, g, heads, valid_len):
     b, s, w3 = qkv.shape
     w = w3 // 3
     d = w // heads
@@ -137,7 +155,8 @@ def _bwd_impl(qkv, g, heads):
                              memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((b, s, w), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, d=d, hpb=hpb, sm_scale=1.0 / (d ** 0.5)),
+        functools.partial(_bwd_kernel, d=d, hpb=hpb,
+                          sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
         out_shape=(shape, shape, shape),
         grid=(b, heads // hpb),
         in_specs=[at(0), at(1), at(2), grad_spec],
@@ -146,20 +165,23 @@ def _bwd_impl(qkv, g, heads):
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def fused_qkv_attention(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_qkv_attention(qkv: jnp.ndarray, heads: int, valid_len=None) -> jnp.ndarray:
     """Attention over fused qkv [B, S, 3W] (global [Q|K|V] channel order,
     heads contiguous within each third) -> [B, S, W]. Non-causal, softmax
-    scale 1/sqrt(D)."""
-    return _fwd_impl(qkv, heads)
+    scale 1/sqrt(D). Keys at positions >= valid_len (if given) are masked
+    out of the softmax — callers pad S to a sublane multiple so the HBM
+    reshapes around the kernel stay bitcasts; pad-query outputs are garbage
+    the caller discards."""
+    return _fwd_impl(qkv, heads, valid_len)
 
 
-def _vjp_fwd(qkv, heads):
-    return _fwd_impl(qkv, heads), qkv
+def _vjp_fwd(qkv, heads, valid_len):
+    return _fwd_impl(qkv, heads, valid_len), qkv
 
 
-def _vjp_bwd(heads, qkv, g):
-    return (_bwd_impl(qkv, g, heads),)
+def _vjp_bwd(heads, valid_len, qkv, g):
+    return (_bwd_impl(qkv, g, heads, valid_len),)
 
 
 fused_qkv_attention.defvjp(_vjp_fwd, _vjp_bwd)
