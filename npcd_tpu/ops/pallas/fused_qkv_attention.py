@@ -45,7 +45,7 @@ def _heads_per_block(heads: int, d: int) -> int:
     return heads
 
 
-def _attend(q, k, v, sm_scale, valid_len=None):
+def _logits(q, k, sm_scale, valid_len):
     # q/k stay in their storage dtype (bf16 in the denoiser): the MXU
     # multiplies bf16 at full rate with f32 accumulation; converting the
     # blocks to f32 first (the first-generation kernel) forced the ~4x
@@ -60,29 +60,41 @@ def _attend(q, k, v, sm_scale, valid_len=None):
         # a sublane multiple so HBM reshapes around the kernel are bitcasts)
         key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(key_idx < valid_len, logits, -1e30)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    return logits
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, d: int, hpb: int,
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
                 sm_scale: float, valid_len):
     xq = q_ref[0]  # [S, hpb*D], storage dtype
     xk = k_ref[0]
     xv = v_ref[0]
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
-        p = _attend(xq[:, sl], xk[:, sl], xv[:, sl], sm_scale, valid_len)
-        # cast p to the IO dtype for the PV matmul — identical to the einsum
-        # fallback's weights.astype(q.dtype) (ops/attention.py) and keeps the
-        # MXU on the fast path; accumulation stays f32
-        o = jnp.dot(p.astype(xv.dtype), xv[:, sl], preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        logits = _logits(xq[:, sl], xk[:, sl], sm_scale, valid_len)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        # normalize the small [S, D] output instead of the [S, S] weight
+        # matrix (saves a full S x S elementwise pass), casting e to the IO
+        # dtype for the PV matmul — same precision semantics as the einsum
+        # fallback's weights.astype(q.dtype); accumulation stays f32
+        o = jnp.dot(e.astype(xv.dtype), xv[:, sl], preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+        # log-sum-exp residual ([S, 1] per head, heads on lanes) lets the
+        # backward rebuild p = exp(logits - lse) with no max/sum/divide
+        lse_ref[0, 0, :, h : h + 1] = m + jnp.log(l)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref,
                 *, d: int, hpb: int, sm_scale: float, valid_len):
-    # all matmul operands in storage dtype (f32 accumulate) — see _attend
+    # all matmul operands in storage dtype (f32 accumulate) — see _logits.
+    # The fwd lse residual makes the softmax recompute reduction-free: p is
+    # rebuilt as exp(logits - lse) (no row max/sum/divide). The output o is
+    # deliberately NOT saved as a residual: at batch 32 the extra 34 MB/layer
+    # pushed total HBM past capacity and XLA started rematerializing forward
+    # MLP matmuls (~1.4 ms each) — costlier than the [S, S] rowsum for
+    # delta = rowsum(p * dp) this recomputes.
     xq = q_ref[0]
     xk = k_ref[0]
     xv = v_ref[0]
@@ -91,7 +103,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
         q, k, v, g = xq[:, sl], xk[:, sl], xv[:, sl], xg[:, sl]
-        p = _attend(q, k, v, sm_scale, valid_len)  # [S, S] f32
+        lse = lse_ref[0, 0, :, h : h + 1]  # [S, 1] f32
+        logits = _logits(q, k, sm_scale, valid_len)
+        p = jnp.exp(logits - lse)  # normalized, pad keys -> exp(-inf) = 0
         pc = p.astype(io)
         dv = jax.lax.dot_general(
             pc, g, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -131,37 +145,48 @@ def _fwd_impl(qkv, heads, valid_len):
     d = w // heads
     hpb = _heads_per_block(heads, d)
     cols = hpb * d
-    at = _specs(s, w, cols, heads // hpb)
-    out = pl.pallas_call(
+    n_groups = heads // hpb
+    at = _specs(s, w, cols, n_groups)
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, d=d, hpb=hpb,
                           sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
-        out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
-        grid=(b, heads // hpb),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n_groups, s, hpb), jnp.float32),
+        ),
+        grid=(b, n_groups),
         in_specs=[at(0), at(1), at(2)],
-        out_specs=pl.BlockSpec((1, s, cols), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, s, cols), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, hpb), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
     )(qkv, qkv, qkv)
-    return out
+    return out, lse
 
 
-def _bwd_impl(qkv, g, heads, valid_len):
+def _bwd_impl(qkv, lse, g, heads, valid_len):
     b, s, w3 = qkv.shape
     w = w3 // 3
     d = w // heads
     hpb = _heads_per_block(heads, d)
     cols = hpb * d
-    at = _specs(s, w, cols, heads // hpb)
+    n_groups = heads // hpb
+    at = _specs(s, w, cols, n_groups)
     grad_spec = pl.BlockSpec((1, s, cols), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, s, hpb), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((b, s, w), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, d=d, hpb=hpb,
                           sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
         out_shape=(shape, shape, shape),
-        grid=(b, heads // hpb),
-        in_specs=[at(0), at(1), at(2), grad_spec],
+        grid=(b, n_groups),
+        in_specs=[at(0), at(1), at(2), grad_spec, lse_spec],
         out_specs=(grad_spec, grad_spec, grad_spec),
-    )(qkv, qkv, qkv, g)
+    )(qkv, qkv, qkv, g, lse)
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
@@ -173,15 +198,18 @@ def fused_qkv_attention(qkv: jnp.ndarray, heads: int, valid_len=None) -> jnp.nda
     out of the softmax — callers pad S to a sublane multiple so the HBM
     reshapes around the kernel stay bitcasts; pad-query outputs are garbage
     the caller discards."""
-    return _fwd_impl(qkv, heads, valid_len)
+    out, _ = _fwd_impl(qkv, heads, valid_len)
+    return out
 
 
 def _vjp_fwd(qkv, heads, valid_len):
-    return _fwd_impl(qkv, heads, valid_len), qkv
+    out, lse = _fwd_impl(qkv, heads, valid_len)
+    return out, (qkv, lse)
 
 
-def _vjp_bwd(heads, valid_len, qkv, g):
-    return (_bwd_impl(qkv, g, heads, valid_len),)
+def _vjp_bwd(heads, valid_len, res, g):
+    qkv, lse = res
+    return (_bwd_impl(qkv, lse, g, heads, valid_len),)
 
 
 fused_qkv_attention.defvjp(_vjp_fwd, _vjp_bwd)
