@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.attention import fused_qkv_attention
+from ...ops.attention import fused_qkv_attention_tokens
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
@@ -136,30 +136,44 @@ def _torch_linear_init(in_features: int):
 
 
 class TransformerMLP(nn.Module):
-    """4x-expansion MLP with exact GELU (reference transformer.py:118-136)."""
+    """4x-expansion MLP with exact GELU (reference transformer.py:118-136).
+
+    remat_tail (off by default) rematerializes the gelu -> c_proj tail so
+    the backward recomputes gelu(a) from the saved hidden `a` instead of
+    keeping both activations — a memory/VPU trade for configs that don't
+    fit HBM. At the SRN-Cars batch-32 config it measured *slower* (3.27 vs
+    3.56 steps/s on v5e): the remat barrier blocks XLA's own
+    fusion/remat choices, which already handle the pressure better."""
 
     width: int
     init_scale: float
     dtype: jnp.dtype = jnp.float32
+    remat_tail: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(
+        a = nn.Dense(
             self.width * 4,
             kernel_init=_normal_init(self.init_scale),
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="c_fc",
         )(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(
-            self.width,
-            kernel_init=_normal_init(self.init_scale),
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="c_proj",
-        )(x)
-        return x
+
+        def tail(mdl, a):
+            ga = nn.gelu(a, approximate=False)
+            return nn.Dense(
+                self.width,
+                kernel_init=_normal_init(self.init_scale),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="c_proj",
+                parent=mdl,
+            )(ga)
+
+        if self.remat_tail:
+            return nn.remat(tail)(self, a)
+        return tail(self, a)
 
 
 class MultiheadAttention(nn.Module):
@@ -197,11 +211,14 @@ class MultiheadAttention(nn.Module):
         # pre-fused-qkv-kernel snapshot) hold per-head-ordered c_qkv columns
         # and are NOT loadable into this model without the same permutation
         # (convert_reference._permute_qkv_global applied to the kernel/bias).
-        qkv = qkv.reshape(-1, self.seq, 3 * self.width)
-        out = fused_qkv_attention(
-            qkv, self.heads, impl=self.attn_impl, valid_len=self.valid_len
+        out = fused_qkv_attention_tokens(
+            qkv,
+            self.heads,
+            batch=qkv.shape[0] // self.seq,
+            seq=self.seq,
+            impl=self.attn_impl,
+            valid_len=self.valid_len,
         )
-        out = out.reshape(-1, self.width)
         out = nn.Dense(
             self.width,
             kernel_init=_normal_init(self.init_scale),

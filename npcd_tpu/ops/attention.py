@@ -81,6 +81,46 @@ def fused_qkv_attention(
     return multi_head_attention(q, k, v, impl=impl, valid_len=valid_len).reshape(b, s, w)
 
 
+def fused_qkv_attention_tokens(
+    qkv: jnp.ndarray,
+    heads: int,
+    batch: int,
+    seq: int,
+    impl: str = "auto",
+    valid_len: int | None = None,
+) -> jnp.ndarray:
+    """2D-token variant of fused_qkv_attention: qkv [B*S, 3W] -> [B*S, W],
+    rows batch-major. On TPU this feeds the Pallas kernel the 2D array
+    directly (its BlockSpecs select per-sequence row blocks), so no 3D
+    tensor exists at the custom-call boundary — XLA otherwise folds the
+    boundary reshapes into neighbouring projection matmuls and emits them
+    as slow batch-in-sublanes convolutions."""
+    w = qkv.shape[-1] // 3
+    d = w // heads
+    if valid_len is not None and valid_len >= seq:
+        valid_len = None
+    if impl == "auto":
+        from .pallas.fused_qkv_attention import _heads_per_block
+
+        hpb = _heads_per_block(heads, d)
+        supported = (
+            _on_tpu()
+            and d in (64, 128)
+            and (hpb * d) % 128 == 0
+            and seq % 8 == 0
+            and qkv.dtype in (jnp.float32, jnp.bfloat16)
+        )
+        impl = "pallas" if supported else "einsum"
+    if impl == "pallas":
+        from .pallas.fused_qkv_attention import fused_qkv_attention_2d
+
+        return fused_qkv_attention_2d(qkv, heads, batch, seq, valid_len)
+    out = fused_qkv_attention(
+        qkv.reshape(batch, seq, 3 * w), heads, impl=impl, valid_len=valid_len
+    )
+    return out.reshape(batch * seq, w)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

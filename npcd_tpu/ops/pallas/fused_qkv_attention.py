@@ -8,24 +8,32 @@ those pads/transposes/splits cost ~60 ms/step while the attention math
 itself was ~20 ms.
 
 This kernel reads the fused tensor directly with NO HBM-level transpose,
-pad, or split. To make the blocks tileable the qkv projection uses a
-*global* [Q | K | V] channel order (heads contiguous inside each of Q/K/V)
-instead of the reference's per-head [q|k|v] groups — a pure relabeling of
-the projection's output channels; the torch->jax weight converter applies
-the corresponding one-time column permutation
-(npcd_tpu/utils/convert_reference.py).
+pad, or split, and operates natively on the denoiser's 2D token layout
+[B*S, 3W] (S sublane-aligned): each grid program's row block is one
+sequence, selected by the BlockSpec index map. Keeping the custom call 2D
+matters beyond the kernel itself — when the kernel demanded [B, S, W]
+operands, XLA folded the boundary reshapes into the neighbouring projection
+dX matmuls and emitted them as batch-in-sublanes convolutions at ~57% MXU
+utilization (the plain 2D dots run at ~98%).
+
+To make the blocks tileable the qkv projection uses a *global* [Q | K | V]
+channel order (heads contiguous inside each of Q/K/V) instead of the
+reference's per-head [q|k|v] groups — a pure relabeling of the projection's
+output channels; the torch->jax weight converter applies the corresponding
+one-time column permutation (npcd_tpu/utils/convert_reference.py).
 
   * the same qkv array is passed three times with different index_maps, so
     each grid program sees its Q/K/V column group as an ordinary tiled
     [S, hpb*D] VMEM block
-  * S stays at its logical size (513): Mosaic masks the ragged sublane tile
-  * per head: one softmax(QK^T * 1/sqrt(D)) V in f32 on the MXU
-  * the backward kernel recomputes P from q/k (whole-KV-in-VMEM flash
-    backward) and emits dq/dk/dv column groups; no [B, H, S, S] tensor ever
-    exists in HBM in either direction
+  * per head: softmax(QK^T / sqrt(D)) V with bf16 MXU inputs and f32
+    accumulation/statistics; keys >= valid_len (sequence padding) are
+    masked out of the softmax
+  * the forward also emits per-head log-sum-exp so the backward rebuilds
+    p = exp(logits - lse) with no row max/sum/divide; no [B, H, S, S]
+    tensor ever exists in HBM in either direction
 
-VMEM per program at the SRN-Cars config (S=513, D=64, 8 heads/block):
-q/k/v/g blocks 4 x [513, 512] bf16 ~= 2.1 MB, logits + dP f32 ~= 2.4 MB.
+VMEM per program at the SRN-Cars config (S=520, D=64, 8 heads/block):
+q/k/v(/g) blocks [520, 512] bf16 ~= 0.53 MB each, logits + dP f32 ~= 2.2 MB.
 """
 from __future__ import annotations
 
@@ -65,9 +73,9 @@ def _logits(q, k, sm_scale, valid_len):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
                 sm_scale: float, valid_len):
-    xq = q_ref[0]  # [S, hpb*D], storage dtype
-    xk = k_ref[0]
-    xv = v_ref[0]
+    xq = q_ref[...]  # [S, hpb*D], storage dtype
+    xk = k_ref[...]
+    xv = v_ref[...]
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
         logits = _logits(xq[:, sl], xk[:, sl], sm_scale, valid_len)
@@ -79,7 +87,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
         # dtype for the PV matmul — same precision semantics as the einsum
         # fallback's weights.astype(q.dtype); accumulation stays f32
         o = jnp.dot(e.astype(xv.dtype), xv[:, sl], preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+        o_ref[:, sl] = (o / l).astype(o_ref.dtype)
         # log-sum-exp residual ([S, 1] per head, heads on lanes) lets the
         # backward rebuild p = exp(logits - lse) with no max/sum/divide
         lse_ref[0, 0, :, h : h + 1] = m + jnp.log(l)
@@ -95,10 +103,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
     # pushed total HBM past capacity and XLA started rematerializing forward
     # MLP matmuls (~1.4 ms each) — costlier than the [S, S] rowsum for
     # delta = rowsum(p * dp) this recomputes.
-    xq = q_ref[0]
-    xk = k_ref[0]
-    xv = v_ref[0]
-    xg = g_ref[0]
+    xq = q_ref[...]
+    xk = k_ref[...]
+    xv = v_ref[...]
+    xg = g_ref[...]
     io = xq.dtype
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
@@ -122,42 +130,44 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        dq_ref[:, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, sl] = dv.astype(dv_ref.dtype)
 
 
-def _specs(s, w, hpb_cols, n_groups):
-    """Index maps selecting the Q/K/V thirds of the fused [B, S, 3W] array."""
+def _specs(s, w, hpb_cols):
+    """Index maps selecting the Q/K/V thirds of the fused [B*S, 3W] array.
+
+    Row block i is sequence i (rows [i*s, (i+1)*s)); column block j*hpb_cols
+    within third `third`."""
     def at(third):
         scale = w // hpb_cols  # column-blocks per third
         return pl.BlockSpec(
-            (1, s, hpb_cols),
-            lambda i, j, third=third, scale=scale: (i, 0, third * scale + j),
+            (s, hpb_cols),
+            lambda i, j, third=third, scale=scale: (i, third * scale + j),
             memory_space=pltpu.VMEM,
         )
     return at
 
 
-def _fwd_impl(qkv, heads, valid_len):
-    b, s, w3 = qkv.shape
-    w = w3 // 3
+def _fwd_impl(qkv, heads, b, s, valid_len):
+    w = qkv.shape[-1] // 3
     d = w // heads
     hpb = _heads_per_block(heads, d)
     cols = hpb * d
     n_groups = heads // hpb
-    at = _specs(s, w, cols, n_groups)
+    at = _specs(s, w, cols)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, d=d, hpb=hpb,
                           sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
         out_shape=(
-            jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+            jax.ShapeDtypeStruct((b * s, w), qkv.dtype),
             jax.ShapeDtypeStruct((b, n_groups, s, hpb), jnp.float32),
         ),
         grid=(b, n_groups),
         in_specs=[at(0), at(1), at(2)],
         out_specs=(
-            pl.BlockSpec((1, s, cols), lambda i, j: (i, 0, j),
+            pl.BlockSpec((s, cols), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, hpb), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -166,50 +176,57 @@ def _fwd_impl(qkv, heads, valid_len):
     return out, lse
 
 
-def _bwd_impl(qkv, lse, g, heads, valid_len):
-    b, s, w3 = qkv.shape
-    w = w3 // 3
+def _bwd_impl(qkv, lse, g, heads, b, s, valid_len):
+    w = qkv.shape[-1] // 3
     d = w // heads
     hpb = _heads_per_block(heads, d)
     cols = hpb * d
-    n_groups = heads // hpb
-    at = _specs(s, w, cols, n_groups)
-    grad_spec = pl.BlockSpec((1, s, cols), lambda i, j: (i, 0, j),
+    at = _specs(s, w, cols)
+    grad_spec = pl.BlockSpec((s, cols), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, 1, s, hpb), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((b, s, w), qkv.dtype)
+    shape = jax.ShapeDtypeStruct((b * s, w), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, d=d, hpb=hpb,
                           sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
         out_shape=(shape, shape, shape),
-        grid=(b, n_groups),
+        grid=(b, heads // hpb),
         in_specs=[at(0), at(1), at(2), grad_spec, lse_spec],
         out_specs=(grad_spec, grad_spec, grad_spec),
     )(qkv, qkv, qkv, g, lse)
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def fused_qkv_attention(qkv: jnp.ndarray, heads: int, valid_len=None) -> jnp.ndarray:
-    """Attention over fused qkv [B, S, 3W] (global [Q|K|V] channel order,
-    heads contiguous within each third) -> [B, S, W]. Non-causal, softmax
-    scale 1/sqrt(D). Keys at positions >= valid_len (if given) are masked
-    out of the softmax — callers pad S to a sublane multiple so the HBM
-    reshapes around the kernel stay bitcasts; pad-query outputs are garbage
-    the caller discards."""
-    out, _ = _fwd_impl(qkv, heads, valid_len)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_qkv_attention_2d(
+    qkv: jnp.ndarray, heads: int, b: int, s: int, valid_len=None
+) -> jnp.ndarray:
+    """Attention over fused qkv [B*S, 3W] 2D tokens (global [Q|K|V] channel
+    order, heads contiguous within each third) -> [B*S, W]. Non-causal,
+    softmax scale 1/sqrt(D). Rows are batch-major (row = b*s + i). Keys at
+    positions >= valid_len (if given) are masked out of the softmax —
+    callers pad S to a sublane multiple so everything around the kernel
+    stays 2D; pad-query outputs are garbage the caller discards."""
+    out, _ = _fwd_impl(qkv, heads, b, s, valid_len)
     return out
 
 
-def _vjp_fwd(qkv, heads, valid_len):
-    out, lse = _fwd_impl(qkv, heads, valid_len)
+def _vjp_fwd(qkv, heads, b, s, valid_len):
+    out, lse = _fwd_impl(qkv, heads, b, s, valid_len)
     return out, (qkv, lse)
 
 
-def _vjp_bwd(heads, valid_len, res, g):
+def _vjp_bwd(heads, b, s, valid_len, res, g):
     qkv, lse = res
-    return (_bwd_impl(qkv, lse, g, heads, valid_len),)
+    return (_bwd_impl(qkv, lse, g, heads, b, s, valid_len),)
 
 
-fused_qkv_attention.defvjp(_vjp_fwd, _vjp_bwd)
+fused_qkv_attention_2d.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_qkv_attention(qkv: jnp.ndarray, heads: int, valid_len=None) -> jnp.ndarray:
+    """3D wrapper: [B, S, 3W] -> [B, S, W] (see fused_qkv_attention_2d)."""
+    b, s, w3 = qkv.shape
+    out = fused_qkv_attention_2d(qkv.reshape(b * s, w3), heads, b, s, valid_len)
+    return out.reshape(b, s, w3 // 3)
