@@ -107,8 +107,12 @@ def bench_stage1_steps(preset: str):
         # recurrence's stack forced a layout copy) and matches the
         # reference op-for-op
         opts = pointnerf_default_options()
+        # shading_budget: the dense [112 ray, 50 sample] grid is ~26% valid
+        # on SRN-style scenes (measured max 1699 valid/instance); 2048 packs
+        # the per-pair MLP onto valid samples only with ~20% headroom
         cfg = PointNeRFRenderConfig(
-            train_rays=112, train_instance_chunk=50, compute_dtype=jnp.bfloat16
+            train_rays=112, train_instance_chunk=50, compute_dtype=jnp.bfloat16,
+            shading_budget=2048,
         )
     else:
         b, v, res, p, n_obj, iters = 2, 2, 16, 32, 8, 3

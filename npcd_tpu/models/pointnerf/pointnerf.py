@@ -49,6 +49,17 @@ class PointNeRFRenderConfig:
     # of the loss instead.
     train_rays: int = 112
     train_instance_chunk: int = 50  # view-instances per remat chunk in training
+    # Static per-instance shading-point budget for training. The dense
+    # [train_rays, max_shading_pts] slot grid is typically only ~25% valid
+    # on SRN-style scenes (measured mean 1485 / max 1699 of 5600 at the
+    # reference config), so the per-pair MLP — the stage-1 flops bulk —
+    # wastes ~4x on masked slots. With a budget, valid slots are packed
+    # per instance (stable argsort, one-hot-matmul gathers) and the
+    # kNN/aggregation/field pass runs on [budget] points only; results are
+    # re-expanded before ray marching. None = dense (exact reference
+    # parity). If an instance has more valid samples than the budget, the
+    # deepest ones are dropped (choose ~25% above the expected max).
+    shading_budget: Optional[int] = None
     # rematerialize the chunked field pass in training. None = auto: off
     # for bf16 compute (the fused Pallas MLP keeps intermediates in VMEM,
     # so the remaining residuals fit HBM and the chunk recompute is pure
@@ -232,28 +243,85 @@ class PointNeRF:
             return ray_march(sigma, d_fixed, rgb, o.renderer.white_back)
 
         if train:
-            # kNN once for all instances, outside the rematerialized chunks:
-            # the (idx, mask) outputs are small s32/bool tensors, so saving
-            # them beats re-running the kNN kernel in the backward pass.
-            pts_all = rays_o[:, :, None, :] + depths_c[..., None] * rays_d[:, :, None, :]
-            nb_idx, nb_mask = knn_neighbors(
-                pts_all.reshape(i_dim, -1, 3), pts_mask.reshape(i_dim, -1),
-                kp_pos, o.aggregator.k, o.knn_radius,
-            )
+            cap = self.cfg.shading_budget
+            if cap is not None and cap < r_dim * m:
+                # ---- per-instance shading-point compaction --------------
+                # Pack the valid (ray, sample) slots of each instance to the
+                # front and run kNN + aggregation + field heads on a fixed
+                # [cap] budget instead of the ~25%-occupied dense [R*M]
+                # grid; expand (one-hot-matmul gather through the slot
+                # ranks) before ray marching. Gradients flow through the
+                # same gathers (gather_rows has a matmul custom_vjp).
+                from .aggregator import gather_rows
+
+                flat_mask = pts_mask.reshape(i_dim, r_dim * m)
+                flat_depth = depths_c.reshape(i_dim, r_dim * m)
+                order = jnp.argsort(~flat_mask, axis=1, stable=True)
+                sel = order[:, :cap]  # [I, cap]
+                rank = jnp.argsort(order, axis=1)  # [I, R*M] slot -> packed pos
+                n_valid = jnp.sum(flat_mask, axis=1)
+                c_mask = jnp.arange(cap)[None, :] < jnp.minimum(n_valid, cap)[:, None]
+                c_depth = gather_rows(flat_depth[..., None], sel)[..., 0]
+                ray_of = sel // m
+                c_rayo = gather_rows(rays_o, ray_of)
+                c_rayd = gather_rows(rays_d, ray_of)
+                c_pts = c_rayo + c_depth[..., None] * c_rayd
+                nb_idx, nb_mask = knn_neighbors(
+                    c_pts, c_mask, kp_pos, o.aggregator.k, o.knn_radius
+                )
+
+                def budget_chunk(c_pt, c_msk, c_rd, rnk, d_c, r_e,
+                                 kpp, kpf, nbi, nbm):
+                    feat, valid_c = aggregate_features(
+                        params["aggregator"], o.aggregator, o.knn_radius,
+                        c_pt, c_msk, kpp, kpf,
+                        compute_dtype=self.cfg.compute_dtype,
+                        neighbors=(nbi, nbm),
+                    )  # [ic, cap, C], [ic, cap]
+                    ray_dir = c_rd if o.field.use_dir else None
+                    sigma, rgb = field_heads(
+                        params["field"], o.field, feat, valid_c, ray_dir,
+                        compute_dtype=self.cfg.compute_dtype,
+                    )  # [ic, cap], [ic, cap, 3]
+                    packed = jnp.concatenate(
+                        [sigma[..., None], rgb,
+                         valid_c[..., None].astype(rgb.dtype)], axis=-1,
+                    )  # [ic, cap, 5]
+                    full = gather_rows(packed, jnp.minimum(rnk, cap - 1))
+                    full = jnp.where((rnk < cap)[..., None], full, 0.0)
+                    n_i = full.shape[0]
+                    sigma_f = full[..., 0].reshape(n_i, r_dim, m)
+                    rgb_f = full[..., 1:4].reshape(n_i, r_dim, m, 3)
+                    valid_f = (full[..., 4] > 0.5).reshape(n_i, r_dim, m)
+                    d_fixed = fix_shading_depths(d_c, valid_f, r_e)
+                    return ray_march(sigma_f, d_fixed, rgb_f, o.renderer.white_back)
+
+                chunk_arrays = (c_pts, c_mask, c_rayd, rank, depths_c,
+                                ray_end, kp_pos, kp_feat, nb_idx, nb_mask)
+                body_fn = lambda c: budget_chunk(*c)
+            else:
+                # kNN once for all instances, outside the rematerialized
+                # chunks: the (idx, mask) outputs are small s32/bool tensors,
+                # so saving them beats re-running the kNN kernel in the
+                # backward pass.
+                pts_all = rays_o[:, :, None, :] + depths_c[..., None] * rays_d[:, :, None, :]
+                nb_idx, nb_mask = knn_neighbors(
+                    pts_all.reshape(i_dim, -1, 3), pts_mask.reshape(i_dim, -1),
+                    kp_pos, o.aggregator.k, o.knn_radius,
+                )
+                chunk_arrays = (depths_c, pts_mask, rays_o, rays_d, ray_end,
+                                kp_pos, kp_feat, nb_idx, nb_mask)
+                body_fn = lambda c: field_chunk(*c[:7], neighbors=(c[7], c[8]))
 
             ic = min(self.cfg.train_instance_chunk, i_dim)
             pad_i = (-i_dim) % ic
             padi = lambda a: jnp.concatenate(
                 [a, jnp.zeros((pad_i,) + a.shape[1:], a.dtype)], axis=0
             ) if pad_i else a
-            arrays = tuple(
-                padi(a) for a in (depths_c, pts_mask, rays_o, rays_d, ray_end,
-                                  kp_pos, kp_feat, nb_idx, nb_mask)
-            )
+            arrays = tuple(padi(a) for a in chunk_arrays)
             n_chunks = (i_dim + pad_i) // ic
             xs = tuple(a.reshape(n_chunks, ic, *a.shape[1:]) for a in arrays)
 
-            body_fn = lambda c: field_chunk(*c[:7], neighbors=(c[7], c[8]))
             if self.cfg.resolved_train_remat():
                 body_fn = jax.checkpoint(body_fn)
             outs = jax.lax.map(body_fn, xs)  # dict of [C, ic, R, ...]

@@ -100,3 +100,52 @@ def test_train_eval_rays_consistent(setup):
     # (train depth jitter can flip validity of grazing rays, so not exactly all)
     agreement = valid_e[valid_t].mean() if valid_t.any() else 1.0
     assert agreement > 0.85, agreement
+
+
+def test_shading_budget_matches_dense(setup):
+    """The budgeted shading-point compaction (render_config.shading_budget)
+    must reproduce the dense path exactly when the budget covers every
+    valid sample: same pixels, same feature-table gradients."""
+    pn, params, extr, intr = setup
+    # budget < R*M (12*8=96) but >= any plausible valid count
+    pn_b = PointNeRF(
+        n_obj=3, feats_dim=8, num_points=24, opts=pn.opts,
+        render_config=dataclasses.replace(pn.cfg, shading_budget=88),
+    )
+    rng = jax.random.PRNGKey(7)
+    obj = jnp.array([0, 1])
+
+    def loss_fn(model, p):
+        pred, _ = model.forward(p, obj, intr, extr, rng=rng, train=True)
+        return jnp.sum(pred["channels"] ** 2) + jnp.sum(pred["mask"] ** 2), pred
+
+    (l_d, pred_d), g_d = jax.value_and_grad(lambda p: loss_fn(pn, p), has_aux=True)(params)
+    (l_b, pred_b), g_b = jax.value_and_grad(lambda p: loss_fn(pn_b, p), has_aux=True)(params)
+
+    np.testing.assert_allclose(np.asarray(pred_b["channels"]),
+                               np.asarray(pred_d["channels"]), atol=1e-5)
+    np.testing.assert_allclose(float(l_b), float(l_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_b["feats_table"]),
+                               np.asarray(g_d["feats_table"]), atol=1e-5)
+    flat_b = jax.tree_util.tree_leaves(g_b["field"])
+    flat_d = jax.tree_util.tree_leaves(g_d["field"])
+    for wb, wd in zip(flat_b, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(wb, np.float32), np.asarray(wd, np.float32), atol=1e-5)
+
+
+def test_shading_budget_overflow_runs(setup):
+    """A budget smaller than the valid count drops the overflow samples but
+    must still produce finite outputs and gradients."""
+    pn, params, extr, intr = setup
+    pn_b = PointNeRF(
+        n_obj=3, feats_dim=8, num_points=24, opts=pn.opts,
+        render_config=dataclasses.replace(pn.cfg, shading_budget=16),
+    )
+    def loss_fn(p):
+        pred, _ = pn_b.forward(p, jnp.array([0, 1]), intr, extr,
+                               rng=jax.random.PRNGKey(7), train=True)
+        return jnp.sum(pred["channels"] ** 2)
+    l, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(l))
+    assert np.isfinite(np.asarray(g["feats_table"])).all()
