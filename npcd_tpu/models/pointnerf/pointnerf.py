@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.knn import VoxelOccupancy, dense_knn
+from ...ops.knn import VoxelOccupancy, within_radius
 from ...utils.config import PointNeRFOptions, pointnerf_default_options
 from . import embeddings
 from .aggregator import aggregate_features, compact_valid_samples, knn_neighbors
@@ -176,13 +176,13 @@ class PointNeRF:
         if self.cfg.validity == "voxel":
             valid = occ.query(x.reshape(i_dim, -1, 3)).reshape(depths.shape)
         else:
-            # nearest-neighbor-in-radius validity via the fused kNN kernel:
-            # cheaper than the occupancy scatter+gather on TPU and exactly
-            # the reference fallback's semantic
-            _, nb1 = jax.vmap(
-                lambda q, p: dense_knn(q, p, 1, o.knn_radius)
-            )(x.reshape(i_dim, -1, 3), jax.lax.stop_gradient(kp_pos))
-            valid = nb1[..., 0].reshape(depths.shape)
+            # nearest-neighbor-in-radius validity via the lane-compact
+            # min-distance kernel: cheaper than the occupancy scatter+gather
+            # on TPU and exactly the reference fallback's semantic
+            valid = within_radius(
+                x.reshape(i_dim, -1, 3), jax.lax.stop_gradient(kp_pos),
+                o.knn_radius,
+            ).reshape(depths.shape)
         depths_c, pts_mask = compact_valid_samples(valid, depths, m)  # [I, R, M]
 
         sel_idx = None

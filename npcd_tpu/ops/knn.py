@@ -80,6 +80,37 @@ def dense_knn(
     return idx.astype(jnp.int32), mask
 
 
+def within_radius(
+    x: jnp.ndarray, points: jnp.ndarray, radius: float, impl: str = "auto"
+) -> jnp.ndarray:
+    """True per query in [B, N, 3] iff any of points [B, P, 3] lies within
+    radius (per batch).
+
+    The k=1 special case of dense_knn without index bookkeeping — the
+    stage-1 sample-validity test needs only the boolean. On TPU this uses a
+    dedicated natively-batched, lane-compact Pallas kernel (dense_knn's
+    k-padded outputs cost ~12 GB/step of padding traffic at the SRN
+    config)."""
+    x = jax.lax.stop_gradient(x)
+    points = jax.lax.stop_gradient(points)
+    if impl == "auto":
+        impl = "pallas" if (
+            jax.default_backend() == "tpu" and points.ndim == 3 and x.ndim == 3
+        ) else "xla"
+    if impl == "pallas":
+        from .pallas.knn import pallas_min_d2
+
+        return pallas_min_d2(x, points) < radius * radius
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    p2 = jnp.sum(points * points, axis=-1)
+    xp = jnp.einsum(
+        "...nc,...pc->...np", x, points,
+        preferred_element_type=jnp.float32,
+    )
+    d2 = x2 - 2.0 * xp + p2[..., None, :]
+    return jnp.min(d2, axis=-1) < radius * radius
+
+
 class VoxelOccupancy(NamedTuple):
     """Dilated boolean occupancy grid for one batch of objects.
 

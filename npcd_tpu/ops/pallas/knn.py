@@ -69,6 +69,61 @@ def _knn_kernel(x_ref, p_ref, idx_ref, d2_ref, *, k: int, num_points: int):
         key = jnp.where(key == m, jnp.int32(0x7F7FFFFF), key)
 
 
+def _min_d2_kernel(x_ref, p_ref, out_ref, *, num_points: int):
+    x = x_ref[0]  # [BLK, 8]
+    pts = p_ref[0]  # [P_pad, 8]
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    p2 = jnp.sum(pts * pts, axis=-1)
+    xp = jax.lax.dot_general(
+        x, pts,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d2 = x2 - 2.0 * xp + p2[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2 = jnp.where(col < num_points, d2, jnp.inf)
+    m = jnp.min(d2, axis=-1)  # [BLK]
+    # lane-compact output: BLK mins land as an [BLK/128, 128] tile
+    out_ref[0, 0] = m.reshape(out_ref.shape[-2:])
+
+
+@jax.jit
+def pallas_min_d2(x: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, N, 3] queries, points: [B, P, 3] -> min squared distance
+    [B, N] f32, natively batched (the per-batch point cloud is selected by
+    the grid index map — no vmap, whose squeezed batch dim would make the
+    lane-compact output block illegal).
+
+    The k=1 validity special case of pallas_knn with no index bookkeeping
+    and a lane-compact output: pallas_knn's (idx, d2) outputs are padded to
+    128 lanes, so using it for the sample-validity test wrote (and re-read)
+    ~12 GB/step of 94%-padding at the SRN stage-1 config."""
+    b, n, _ = x.shape
+    p = points.shape[1]
+    blk = 1024
+    n_pad = _round_up(n, blk)
+    p_pad = _round_up(p, _LANE)
+    rows = blk // _LANE  # output tile rows per program
+    xp8 = jnp.zeros((b, n_pad, 8), jnp.float32).at[:, :n, :3].set(
+        x.astype(jnp.float32))
+    pp8 = jnp.zeros((b, p_pad, 8), jnp.float32).at[:, :p, :3].set(
+        points.astype(jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_min_d2_kernel, num_points=p),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad // blk, rows, _LANE), jnp.float32),
+        grid=(b, n_pad // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, 8), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_pad, 8), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, _LANE), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(xp8, pp8)
+    return out.reshape(b, n_pad)[:, :n]
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def pallas_knn(x: jnp.ndarray, points: jnp.ndarray, k: int):
     """x: [N, 3] queries, points: [P, 3] -> (idx [N, k] int32, d2 [N, k]).

@@ -132,3 +132,18 @@ def test_pallas_knn_tie_breaking_interpret():
     except Exception as e:  # pragma: no cover
         pytest.skip(f"pallas interpret mode unavailable: {e}")
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
+
+
+def test_within_radius_matches_xla():
+    """within_radius pallas kernel (interpret on CPU via impl dispatch)
+    vs the XLA min-distance path, batched, with P not a lane multiple."""
+    import jax
+    from npcd_tpu.ops.knn import within_radius
+
+    key = jax.random.PRNGKey(11)
+    kx, kp = jax.random.split(key)
+    x = jax.random.uniform(kx, (3, 1500, 3), minval=-0.6, maxval=0.6)
+    pts = jax.random.uniform(kp, (3, 37, 3), minval=-0.4, maxval=0.4)
+    a = within_radius(x, pts, 0.2, impl="xla")
+    assert a.shape == (3, 1500)
+    assert bool(a.any()) and not bool(a.all())
