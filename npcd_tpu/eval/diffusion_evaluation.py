@@ -67,14 +67,26 @@ class DiffusionEvaluation:
             self.intrinsics = self.intrinsics[:max_poses]
 
         if isinstance(feature_extractor, str):
-            # "random_projection:<dim>" — deterministic test-only extractor
-            kind, _, dim = feature_extractor.partition(":")
-            assert kind == "random_projection", feature_extractor
-            d = int(dim or 8)
-            proj = np.random.default_rng(0).normal(
-                size=(resolution * resolution * 3, d)
-            ).astype(np.float32)
-            feature_extractor = lambda imgs: imgs.reshape(len(imgs), -1) @ proj
+            kind, _, arg = feature_extractor.partition(":")
+            if kind == "random_projection":
+                # deterministic test-only extractor
+                d = int(arg or 8)
+                proj = np.random.default_rng(0).normal(
+                    size=(resolution * resolution * 3, d)
+                ).astype(np.float32)
+                feature_extractor = lambda imgs: imgs.reshape(len(imgs), -1) @ proj
+            elif kind == "inception_jax":
+                # TPU-native InceptionV3 (keras weights h5); keeps the whole
+                # generate->render->score loop on device. Not number-
+                # comparable with the mmgen TorchScript graph — see
+                # utils/inception_jax.py.
+                from ..utils.inception_jax import JaxInceptionExtractor
+
+                feature_extractor = JaxInceptionExtractor(arg)
+            elif kind == "inception_torchscript":
+                feature_extractor = TorchScriptInceptionExtractor(arg or None)
+            else:
+                raise ValueError(f"unknown feature_extractor: {feature_extractor!r}")
         if feature_extractor is None:
             if not _osp.isfile(inception_path):
                 raise FileNotFoundError(
