@@ -255,17 +255,33 @@ class PointNeRF:
                 from .aggregator import gather_rows
 
                 flat_mask = pts_mask.reshape(i_dim, r_dim * m)
-                flat_depth = depths_c.reshape(i_dim, r_dim * m)
                 order = jnp.argsort(~flat_mask, axis=1, stable=True)
                 sel = order[:, :cap]  # [I, cap]
                 rank = jnp.argsort(order, axis=1)  # [I, R*M] slot -> packed pos
                 n_valid = jnp.sum(flat_mask, axis=1)
                 c_mask = jnp.arange(cap)[None, :] < jnp.minimum(n_valid, cap)[:, None]
-                c_depth = gather_rows(flat_depth[..., None], sel)[..., 0]
-                ray_of = sel // m
-                c_rayo = gather_rows(rays_o, ray_of)
-                c_rayd = gather_rows(rays_d, ray_of)
-                c_pts = c_rayo + c_depth[..., None] * c_rayd
+                # one fused gather of dense sample points (+ ray dirs when
+                # the field is view-dependent): three separate one-hot
+                # gathers (depth, rays_o, rays_d) measured ~16 ms/step —
+                # each [cap, R*M] x [R*M, C] dot has a tiny C, so batching
+                # the columns amortizes the one-hot contraction
+                pts_all = (rays_o[:, :, None, :]
+                           + depths_c[..., None] * rays_d[:, :, None, :]
+                           ).reshape(i_dim, r_dim * m, 3)
+                if o.field.use_dir:
+                    table = jnp.concatenate(
+                        [pts_all,
+                         jnp.broadcast_to(rays_d[:, :, None, :],
+                                          (i_dim, r_dim, m, 3)
+                                          ).reshape(i_dim, r_dim * m, 3)],
+                        axis=-1,
+                    )  # [I, R*M, 6]
+                    packed_in = gather_rows(table, sel)  # [I, cap, 6]
+                    c_pts = packed_in[..., :3]
+                    c_rayd = packed_in[..., 3:6]
+                else:
+                    c_pts = gather_rows(pts_all, sel)  # [I, cap, 3]
+                    c_rayd = jnp.zeros_like(c_pts)
                 nb_idx, nb_mask = knn_neighbors(
                     c_pts, c_mask, kp_pos, o.aggregator.k, o.knn_radius
                 )

@@ -104,10 +104,10 @@ def pallas_min_d2(x: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     n_pad = _round_up(n, blk)
     p_pad = _round_up(p, _LANE)
     rows = blk // _LANE  # output tile rows per program
-    xp8 = jnp.zeros((b, n_pad, 8), jnp.float32).at[:, :n, :3].set(
-        x.astype(jnp.float32))
-    pp8 = jnp.zeros((b, p_pad, 8), jnp.float32).at[:, :p, :3].set(
-        points.astype(jnp.float32))
+    # jnp.pad, not zeros().at[].set(): the scatter form cost 8.9 ms/step on
+    # the 400x14k-query stage-1 validity pass; pad lowers to cheap pad ops
+    xp8 = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - n), (0, 5)))
+    pp8 = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, p_pad - p), (0, 5)))
     out = pl.pallas_call(
         functools.partial(_min_d2_kernel, num_points=p),
         out_shape=jax.ShapeDtypeStruct((b, n_pad // blk, rows, _LANE), jnp.float32),
@@ -136,8 +136,8 @@ def pallas_knn(x: jnp.ndarray, points: jnp.ndarray, k: int):
     n_pad = _round_up(n, blk)
     p_pad = _round_up(p, _LANE)
 
-    xp8 = jnp.zeros((n_pad, 8), jnp.float32).at[:n, :3].set(x.astype(jnp.float32))
-    pp8 = jnp.zeros((p_pad, 8), jnp.float32).at[:p, :3].set(points.astype(jnp.float32))
+    xp8 = jnp.pad(x.astype(jnp.float32), ((0, n_pad - n), (0, 5)))
+    pp8 = jnp.pad(points.astype(jnp.float32), ((0, p_pad - p), (0, 5)))
 
     k_pad = _round_up(k, _LANE)  # output lane alignment; trimmed below
 
