@@ -80,6 +80,11 @@ class DiffusionEvaluation:
                 # generate->render->score loop on device. Not number-
                 # comparable with the mmgen TorchScript graph — see
                 # utils/inception_jax.py.
+                if not arg:
+                    raise ValueError(
+                        "feature_extractor='inception_jax' needs a weights "
+                        "file: pass 'inception_jax:<keras_weights.h5>'"
+                    )
                 from ..utils.inception_jax import JaxInceptionExtractor
 
                 feature_extractor = JaxInceptionExtractor(arg)

@@ -51,7 +51,7 @@ def _slab_rows(m: int) -> int:
     """Split an [M, W] token matrix into n slabs of M/n rows for the LN
     Pallas grid: the largest n <= 64 dividing M with a sublane-aligned slab
     (M/n a multiple of 8, so the [M, W] -> [n, M/n, W] view is a bitcast;
-    e.g. 16640 -> 40 slabs of 416) of at least 64 rows. Falls back to
+    e.g. 16640 -> 52 slabs of 320) of at least 64 rows. Falls back to
     unaligned slabs (layout copy) only if M has no aligned split."""
     limit = min(64, m // 64)
     for n in range(limit, 0, -1):

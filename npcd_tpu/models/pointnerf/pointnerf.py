@@ -58,7 +58,8 @@ class PointNeRFRenderConfig:
     # kNN/aggregation/field pass runs on [budget] points only; results are
     # re-expanded before ray marching. None = dense (exact reference
     # parity). If an instance has more valid samples than the budget, the
-    # deepest ones are dropped (choose ~25% above the expected max).
+    # deepest samples are dropped, evenly across rays (packing is ordered
+    # by within-ray sample index). Choose ~25% above the expected max.
     shading_budget: Optional[int] = None
     # rematerialize the chunked field pass in training. None = auto: off
     # for bf16 compute (the fused Pallas MLP keeps intermediates in VMEM,
@@ -255,7 +256,16 @@ class PointNeRF:
                 from .aggregator import gather_rows
 
                 flat_mask = pts_mask.reshape(i_dim, r_dim * m)
-                order = jnp.argsort(~flat_mask, axis=1, stable=True)
+                # pack valid slots first, ordered by within-ray sample index
+                # (all first samples of every ray, then all second samples,
+                # ...): on overflow the *deepest* samples are dropped, evenly
+                # across rays — a plain ray-major stable sort would instead
+                # silently zero out entire trailing rays. The packed order is
+                # irrelevant downstream (the rank gather restores slot
+                # positions before ray marching).
+                sample_j = jnp.tile(jnp.arange(m), r_dim)[None, :]  # [1, R*M]
+                key = jnp.where(flat_mask, sample_j, m)
+                order = jnp.argsort(key, axis=1, stable=True)
                 sel = order[:, :cap]  # [I, cap]
                 rank = jnp.argsort(order, axis=1)  # [I, R*M] slot -> packed pos
                 n_valid = jnp.sum(flat_mask, axis=1)

@@ -70,6 +70,9 @@ def fused_qkv_attention(
             # the head-group column width must tile the 128-lane dim
             # (or span the whole third, i.e. hpb == heads with w % 128 == 0)
             and (hpb * d) % 128 == 0
+            # the 2D kernel's row blocks start at i*s: s must be a sublane
+            # multiple (or there is only one sequence)
+            and (s % 8 == 0 or b == 1)
             and qkv.dtype in (jnp.float32, jnp.bfloat16)
         )
         impl = "pallas" if supported else "einsum"

@@ -161,24 +161,38 @@ def params_from_keras_model(model) -> List[Tuple[np.ndarray, ...]]:
 
 
 def load_keras_h5(path: str) -> List[Tuple[np.ndarray, ...]]:
-    """Load the Keras release weight file directly with h5py (layer groups
-    named conv2d[_N] / batch_normalization[_N] in creation order)."""
-    import h5py
+    """Load a Keras InceptionV3 weight file directly with h5py.
 
-    def name(base, i):
-        return base if i == 0 else f"{base}_{i}"
+    Handles both layer-naming conventions: modern tf-keras saves creation
+    indices 0-based ('conv2d', 'conv2d_1', ...) while the Keras-2.0-era
+    release file (inception_v3_weights_tf_dim_ordering_tf_kernels_notop.h5)
+    is 1-based ('conv2d_1'..'conv2d_94')."""
+    import h5py
 
     params = []
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
+        offset = 0 if "conv2d" in root else 1
+        if offset and "conv2d_1" not in root:
+            raise ValueError(
+                f"{path!r} has neither 'conv2d' nor 'conv2d_1' layer groups; "
+                f"found: {sorted(root.keys())[:8]}..."
+            )
+
+        def name(base, i):
+            j = i + offset
+            return base if j == 0 else f"{base}_{j}"
+
+        def leaf(g, wname):
+            # h5 layout is either <layer>/<weight_name>:0 or
+            # <layer>/<layer>/<weight_name>:0
+            if wname in g:
+                return np.asarray(g[wname])
+            return np.asarray(g[list(g.keys())[0]][wname])
+
         for i in range(N_CONV):
             cg = root[name("conv2d", i)]
             bg = root[name("batch_normalization", i)]
-            # h5 layout: <layer>/<layer>/<weight_name>:0
-            def leaf(g, wname):
-                sub = g[list(g.keys())[0]] if wname not in g else g
-                return np.asarray(sub[wname])
-
             kernel = leaf(cg, "kernel:0")
             beta = leaf(bg, "beta:0")
             mean = leaf(bg, "moving_mean:0")

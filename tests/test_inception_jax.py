@@ -53,3 +53,28 @@ def test_extractor_batching(keras_model):
     # batching must not change values (pad chunk is trimmed)
     feats2 = JaxInceptionExtractor(params, batch_size=8)(imgs)
     np.testing.assert_allclose(feats, feats2, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_load_keras_h5_roundtrip(keras_model, tmp_path):
+    """save_weights h5 -> load_keras_h5 must reproduce the live model's
+    params (covers the h5 group layout and 0-based layer naming; the
+    1-based Keras-2.0 release-file convention shares the same code path
+    via the offset probe)."""
+    import h5py
+
+    from npcd_tpu.utils.inception_jax import load_keras_h5
+
+    path = str(tmp_path / "w.h5")
+    keras_model.save_weights(path)
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        assert "conv2d" in root or "conv2d_1" in root
+    loaded = load_keras_h5(path)
+    ref = params_from_keras_model(keras_model)
+    assert len(loaded) == len(ref) == 94
+    for (lk, lb, lm, lv), (rk, rb, rm, rv) in zip(loaded, ref):
+        np.testing.assert_array_equal(lk, rk)
+        np.testing.assert_array_equal(lb, rb)
+        np.testing.assert_array_equal(lm, rm)
+        np.testing.assert_array_equal(lv, rv)

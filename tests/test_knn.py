@@ -135,9 +135,13 @@ def test_pallas_knn_tie_breaking_interpret():
 
 
 def test_within_radius_matches_xla():
-    """within_radius pallas kernel (interpret on CPU via impl dispatch)
-    vs the XLA min-distance path, batched, with P not a lane multiple."""
+    """within_radius Pallas kernel (interpret mode on CPU) vs the XLA
+    min-distance path, batched, with P not a lane multiple and N not a
+    block multiple — pins the lane-compact output reshape and the
+    num_points masking."""
     import jax
+    import numpy as np
+    import pytest
     from npcd_tpu.ops.knn import within_radius
 
     key = jax.random.PRNGKey(11)
@@ -147,3 +151,12 @@ def test_within_radius_matches_xla():
     a = within_radius(x, pts, 0.2, impl="xla")
     assert a.shape == (3, 1500)
     assert bool(a.any()) and not bool(a.all())
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            b = within_radius(x, pts, 0.2, impl="pallas")
+    except Exception as e:  # pragma: no cover - interpret mode availability
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

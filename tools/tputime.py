@@ -52,11 +52,10 @@ def _region_times(tracedir: str) -> dict[str, tuple[float, int]]:
 
 def device_time(name: str, fn, args: tuple, iters: int = 10) -> float:
     """On-device seconds per call of jit(fn), measured via a profiler trace."""
-    jitted = jax.jit(fn)
-    jitted = jax.named_call(jitted, name=name) if False else jitted
-    # Name the jit region: wrap in a function with the right __name__.
+    # Name the jit region (it shows up as jit_<name> in the device trace)
+    # by giving the traced function the right __name__.
     def named(*a):
-        return jitted(*a)
+        return fn(*a)
 
     named.__name__ = name
     run = jax.jit(named)
