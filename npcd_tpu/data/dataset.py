@@ -86,8 +86,11 @@ class Dataset(abc.ABC):
         drop_last: bool = False,
         seed: int = 0,
         indices: Optional[Sequence[int]] = None,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ) -> "BatchLoader":
-        return BatchLoader(self, batch_size, shuffle, drop_last, seed, indices)
+        return BatchLoader(self, batch_size, shuffle, drop_last, seed, indices,
+                           num_shards, shard_index)
 
     # -- threaded RAM preload (cf. reference srn.py:107-120) -----------------
 
@@ -190,7 +193,16 @@ def prefetch_to_device(iterable, transfer: Callable[[Any], Any], size: int = 2):
 
 
 class BatchLoader:
-    """Shuffled epoch iterator over a Dataset, collating into numpy batches."""
+    """Shuffled epoch iterator over a Dataset, collating into numpy batches.
+
+    Multi-host data parallelism (num_shards > 1): the index space is
+    statically strided-partitioned across processes and `batch_size` is
+    interpreted as the GLOBAL batch — each process iterates local batches
+    of batch_size // num_shards drawn from its own shard (the standard
+    distributed-sampler semantic; for the stage-1 autodecoder this also
+    aligns each process's images with its row-shard of the embedding
+    tables, see parallel/pointnerf_sharding.py). shard_batch() then
+    assembles the per-process slices into one global sharded array."""
 
     def __init__(
         self,
@@ -200,13 +212,20 @@ class BatchLoader:
         drop_last: bool,
         seed: int = 0,
         indices: Optional[Sequence[int]] = None,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        if batch_size % num_shards:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide by num_shards {num_shards}"
+            )
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size // num_shards  # local batch
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
-        self._rng = np.random.default_rng(seed)
+        all_idx = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+        self.indices = all_idx[shard_index::num_shards]
+        self._rng = np.random.default_rng(seed + shard_index)
 
     def __len__(self) -> int:
         n = len(self.indices)

@@ -41,8 +41,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Shard every leaf on its leading dimension across the data axis."""
+    """Shard every leaf on its leading dimension across the data axis.
+
+    Single-host: a plain sharded device_put. Multi-host: each process holds
+    only its local slice of the global batch (BatchLoader with
+    num_shards=process_count), so the global array is assembled with
+    make_array_from_process_local_data — the leading dim of each local
+    leaf is 1/process_count of the global batch."""
     sharding = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(x):
+            local = np.asarray(x)
+            global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, local, global_shape
+            )
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

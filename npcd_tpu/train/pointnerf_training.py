@@ -168,9 +168,13 @@ class PointNeRFTraining:
             self.state = replicate(self.state, self.mesh)
 
         writer.set_max_iterations(self.max_iterations)
+        # multi-host DP: each process draws its shard of the global batch
+        # (BatchLoader strided partition); shard_batch assembles the global
+        # array from the process-local slices
         loader = self.dataset.get_loader(
             batch_size=self.batch_size, shuffle=True, drop_last=True,
             seed=int(jax.random.randint(self.rng, (), 0, 2**31 - 1)),
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
         )
         it = self.finished_iterations
         last_ckpt_time = time.time()

@@ -55,3 +55,32 @@ def test_srn_split_parsing():
     assert len(lst) == 2347  # 2458 - 178 blacklisted, some blacklist ids absent
     assert lst[0][0] == "cars"
     assert lst[0][2] == 0 and lst[-1][2] == len(lst) - 1
+
+
+def test_batch_loader_sharding():
+    """Multi-host semantics: strided index partition, global batch split
+    into per-process local batches, disjoint coverage."""
+    from npcd_tpu.data import create_dataset
+
+    ds = create_dataset("SyntheticNPCTrain", n_obj=12, num_views=1,
+                        image_size=8, num_points=16)
+    loaders = [
+        ds.get_loader(batch_size=4, shuffle=True, drop_last=True, seed=7,
+                      num_shards=2, shard_index=i)
+        for i in range(2)
+    ]
+    seen = [set(), set()]
+    for i, loader in enumerate(loaders):
+        assert loader.batch_size == 2  # local = global / num_shards
+        for batch in loader:
+            assert batch["obj_idx"].shape[0] == 2
+            seen[i].update(int(x) for x in batch["obj_idx"])
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(12))
+    # shard partition is deterministic: strided over the index space
+    assert seen[0] == set(range(0, 12, 2))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ds.get_loader(batch_size=5, num_shards=2)
