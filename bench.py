@@ -108,11 +108,17 @@ def bench_stage1_steps(preset: str):
         # reference op-for-op
         opts = pointnerf_default_options()
         # shading_budget: the dense [112 ray, 50 sample] grid is ~26% valid
-        # on SRN-style scenes (measured max 1699 valid/instance); 2048 packs
-        # the per-pair MLP onto valid samples only with ~20% headroom
+        # on SRN-style scenes (measured max 1699 valid/instance); 1792 packs
+        # the per-pair MLP onto valid samples only (overflow gracefully
+        # drops deepest samples, evenly across rays). One instance chunk
+        # (400 = all B*V) drops the lax.map stacking overhead entirely —
+        # the fused Pallas MLP keeps the big activations in VMEM, so the
+        # single chunk fits HBM. Measured: ic=50/b=2048 3.61 -> ic=400/
+        # b=1792 4.16 steps/s (same-process comparison; the tunneled
+        # device's first measurement is ~25% low, so bench order matters).
         cfg = PointNeRFRenderConfig(
-            train_rays=112, train_instance_chunk=50, compute_dtype=jnp.bfloat16,
-            shading_budget=2048,
+            train_rays=112, train_instance_chunk=400, compute_dtype=jnp.bfloat16,
+            shading_budget=1792,
         )
     else:
         b, v, res, p, n_obj, iters = 2, 2, 16, 32, 8, 3
