@@ -28,7 +28,7 @@ import time
 A100_EST_STEPS_PER_SEC = 4.2
 
 
-def bench_denoiser_steps(preset: str) -> float:
+def bench_denoiser_steps(preset: str, with_sampler: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -79,7 +79,48 @@ def bench_denoiser_steps(preset: str) -> float:
         state, metrics = step(state, batch_data, jax.random.fold_in(jax.random.PRNGKey(4), i))
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return iters / dt
+    train_rate = iters / dt
+
+    if not with_sampler:
+        # sampler compile costs ~3 min at the full config; keep the default
+        # driver bench fast (run `bench.py --sampler` for the number;
+        # measured 11.2 reverse steps/s = 89 ms/step at batch 32 on v5e)
+        return train_rate, None
+
+    # DDPM sampler throughput (the FID-protocol generation hot path): a
+    # truncated reverse scan — per-step cost is t-independent. params MUST
+    # be a jit argument: closed-over they become 302M compile-time
+    # constants and XLA compilation effectively never finishes (the
+    # production _generate_batch passes state as an argument for the same
+    # reason).
+    proc = model.process
+    scan_len = 50 if preset == "full" else 5
+
+    @jax.jit
+    def sample_scan(params, c, f, rng):
+        fn = model.denoise_fn(params)
+
+        def body(carry, t_s):
+            c, f, rng = carry
+            rng, r2 = jax.random.split(rng)
+            t = jnp.full((c.shape[0],), t_s, jnp.int32)
+            out = proc.p_sample(r2, fn, c, f, t, None, None)
+            return (out.coords, out.feats, rng), None
+
+        ts = jnp.arange(scan_len, dtype=jnp.int32)[::-1]
+        (c, f, _), _ = jax.lax.scan(body, (c, f, rng), ts)
+        return c, f
+
+    p = model.num_points
+    c0 = jax.random.normal(jax.random.PRNGKey(7), (batch, 3, p))
+    f0 = jax.random.normal(jax.random.PRNGKey(8), (batch, model.feats_dim, p))
+    c, _ = sample_scan(state.params, c0, f0, jax.random.PRNGKey(9))
+    float(c.sum())
+    t0 = time.perf_counter()
+    c, f = sample_scan(state.params, c0, f0, jax.random.PRNGKey(10))
+    float(c.sum())
+    sampler_rate = scan_len / (time.perf_counter() - t0)
+    return train_rate, sampler_rate
 
 
 def bench_stage1_steps(preset: str):
@@ -215,6 +256,8 @@ def bench_render_rays(preset: str) -> float:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", choices=["full", "tiny"], default=None)
+    parser.add_argument("--sampler", action="store_true",
+                        help="also measure DDPM sampler steps/s (adds ~3 min compile)")
     args = parser.parse_args()
 
     import jax
@@ -225,8 +268,9 @@ def main():
 
     import sys
 
-    steps_per_sec = bench_denoiser_steps(preset)
-    print(f"denoiser steps/s: {steps_per_sec:.4f}", file=sys.stderr)
+    steps_per_sec, sampler_steps = bench_denoiser_steps(preset, with_sampler=args.sampler)
+    note = f" sampler steps/s: {sampler_steps:.1f}" if sampler_steps else ""
+    print(f"denoiser steps/s: {steps_per_sec:.4f}{note}", file=sys.stderr)
     rays_per_sec = bench_render_rays(preset)
     print(f"render rays/s: {rays_per_sec:.1f}", file=sys.stderr)
     s1_steps, s1_rays = bench_stage1_steps(preset)
@@ -239,6 +283,7 @@ def main():
         "vs_baseline": round(steps_per_sec / A100_EST_STEPS_PER_SEC, 4),
         "extra": {
             "render_rays_per_sec": round(rays_per_sec, 1),
+            **({"sampler_steps_per_sec": round(sampler_steps, 1)} if sampler_steps else {}),
             "stage1_steps_per_sec": round(s1_steps, 3),
             "stage1_train_rays_per_sec": round(s1_rays, 1),
             "preset": preset,

@@ -69,7 +69,14 @@ def build_pointnerf(config: Dict[str, Any]):
     model_cfg = config["model"]
     render_config = None
     if "render_config" in config:
-        render_config = PointNeRFRenderConfig(**config["render_config"])
+        kwargs = dict(config["render_config"])
+        if isinstance(kwargs.get("compute_dtype"), str):
+            # YAML carries dtype names; normalize so identity checks like
+            # resolved_train_remat's `!= jnp.bfloat16` work
+            import jax.numpy as jnp
+
+            kwargs["compute_dtype"] = jnp.dtype(kwargs["compute_dtype"]).type
+        render_config = PointNeRFRenderConfig(**kwargs)
     return PointNeRF(
         n_obj=model_cfg["n_obj"],
         feats_dim=model_cfg["feats_dim"],
