@@ -111,7 +111,6 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
         (c, f, _), _ = jax.lax.scan(body, (c, f, rng), ts)
         return c, f
 
-    p = model.num_points
     c0 = jax.random.normal(jax.random.PRNGKey(7), (batch, 3, p))
     f0 = jax.random.normal(jax.random.PRNGKey(8), (batch, model.feats_dim, p))
     c, _ = sample_scan(state.params, c0, f0, jax.random.PRNGKey(9))

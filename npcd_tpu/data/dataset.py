@@ -199,9 +199,7 @@ class BatchLoader:
     statically strided-partitioned across processes and `batch_size` is
     interpreted as the GLOBAL batch — each process iterates local batches
     of batch_size // num_shards drawn from its own shard (the standard
-    distributed-sampler semantic; for the stage-1 autodecoder this also
-    aligns each process's images with its row-shard of the embedding
-    tables, see parallel/pointnerf_sharding.py). shard_batch() then
+    distributed-sampler semantic). shard_batch() then
     assembles the per-process slices into one global sharded array."""
 
     def __init__(

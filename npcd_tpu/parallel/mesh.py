@@ -50,8 +50,6 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     leaf is 1/process_count of the global batch."""
     sharding = data_sharding(mesh, axis)
     if jax.process_count() > 1:
-        import numpy as np
-
         def put(x):
             local = np.asarray(x)
             global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]

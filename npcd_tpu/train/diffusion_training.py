@@ -30,7 +30,7 @@ from ..models.diffusion.normalizers import NormalizerStats
 from ..data.dataset import prefetch_to_device
 from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
 from ..utils import logging, writer
-from ..utils.checkpoint import CheckpointSaver, save_weights_only
+from ..utils.checkpoint import CheckpointSaver, save_weights_only, timed_save_due
 from ..utils.ema import EmaConfig, ema_update
 from ..utils.util import count_parameters
 
@@ -229,10 +229,12 @@ class DiffusionTraining:
                         f"iter {it}/{self.max_iterations} "
                         f"loss {float(metrics['loss']):.5f} ({dt*1000:.1f} ms/it)"
                     )
-                if it % self.log_scalars_interval == 0:
+                if it % self.log_scalars_interval == 0 and jax.process_index() == 0:
                     writer.put_scalar_dict("diffusion_train", jax.device_get(metrics), it)
                     writer.write_out_storage()
-                if (time.time() - last_ckpt_time) / 60 > self.save_checkpoint_interval_min:
+                if timed_save_due(last_ckpt_time, self.save_checkpoint_interval_min):
+                    # all processes must agree (the save is collective), so
+                    # the wall-clock decision is broadcast from process 0
                     self.saver.save(jax.device_get(self.state), it)
                     last_ckpt_time = time.time()
                 if it % self.weights_only_interval == 0:

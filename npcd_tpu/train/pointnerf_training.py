@@ -24,7 +24,7 @@ from ..models.pointnerf import PointNeRF
 from ..data.dataset import prefetch_to_device
 from ..parallel.mesh import replicate, shard_batch
 from ..utils import logging, writer
-from ..utils.checkpoint import CheckpointSaver, save_weights_only
+from ..utils.checkpoint import CheckpointSaver, save_weights_only, timed_save_due
 from ..utils.util import count_parameters
 
 
@@ -209,12 +209,19 @@ class PointNeRFTraining:
                         f"iter {it}/{self.max_iterations} "
                         f"loss {float(metrics['loss']):.5f} ({dt*1000:.1f} ms/it)"
                     )
-                if it % self.log_scalars_interval == 0:
+                if it % self.log_scalars_interval == 0 and jax.process_index() == 0:
                     writer.put_scalar_dict("pointnerf_train", jax.device_get(metrics), it)
                     writer.write_out_storage()
-                if self.log_interval and it % self.log_interval == 0:
+                if (
+                    self.log_interval and it % self.log_interval == 0
+                    and jax.process_count() == 1
+                ):
+                    # multi-host: the un-jitted eval forward cannot consume
+                    # the non-fully-addressable global params; skip
                     self._log_qualitative(batch, it)
-                if (time.time() - last_ckpt_time) / 60 > self.save_checkpoint_interval_min:
+                if timed_save_due(last_ckpt_time, self.save_checkpoint_interval_min):
+                    # all processes must agree (the save is collective), so
+                    # the wall-clock decision is broadcast from process 0
                     self.saver.save(jax.device_get(self.state), it)
                     last_ckpt_time = time.time()
 

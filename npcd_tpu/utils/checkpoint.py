@@ -23,6 +23,36 @@ import orbax.checkpoint as ocp
 _ITER_RE = re.compile(r"-iter-(\d{9})$")
 
 
+def _sync(tag: str) -> None:
+    """Barrier across processes (no-op single-process) so one process's
+    filesystem mutations land before the others proceed."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def timed_save_due(last_save_time: float, interval_min: float) -> bool:
+    """Wall-clock checkpoint trigger that every process agrees on.
+
+    Clocks differ across hosts; if each process gated on its own clock they
+    would call the collective orbax save at different iterations and the
+    training loops would desync (one process exits while the rest block in
+    a psum). Process 0's decision is broadcast to all."""
+    import time
+
+    due = (time.time() - last_save_time) / 60 > interval_min
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        import numpy as np
+
+        due = bool(
+            multihost_utils.broadcast_one_to_all(np.asarray(due, np.bool_))
+        )
+    return due
+
+
 def _iter_of(path: str) -> Optional[int]:
     m = _ITER_RE.search(os.path.basename(path.rstrip("/")))
     return int(m.group(1)) if m else None
@@ -54,11 +84,16 @@ class CheckpointSaver:
 
     def save(self, state: Any, iteration: int) -> str:
         path = self._path(iteration)
-        if os.path.exists(path):
+        # orbax's save is multi-process collective (every process calls it),
+        # but the overwrite/GC rmtree must run on exactly one process when
+        # the checkpoint dir is on a shared filesystem
+        if jax.process_index() == 0 and os.path.exists(path):
             shutil.rmtree(path)
+        _sync("ckpt-pre-save")
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
-        self._gc()
+        if jax.process_index() == 0:
+            self._gc()
         return path
 
     def _gc(self) -> None:
@@ -88,8 +123,9 @@ class CheckpointSaver:
 
 def save_weights_only(path: str, params: Any) -> None:
     path = os.path.abspath(path)
-    if os.path.exists(path):
+    if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
+    _sync("weights-pre-save")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, params)
     ckptr.wait_until_finished()
