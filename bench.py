@@ -124,7 +124,7 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
 
 def bench_stage1_steps(preset: str):
     """Stage-1 autodecoder training throughput (reference config: batch 8
-    objects x 50 views, 112 presampled rays -> 64 selected/view)."""
+    objects x 50 views, 112 subsampled rays/view)."""
     import dataclasses
 
     import jax

@@ -200,7 +200,14 @@ class BatchLoader:
     interpreted as the GLOBAL batch — each process iterates local batches
     of batch_size // num_shards drawn from its own shard (the standard
     distributed-sampler semantic). shard_batch() then
-    assembles the per-process slices into one global sharded array."""
+    assembles the per-process slices into one global sharded array.
+
+    When the dataset size is not divisible by num_shards, the index list is
+    padded by wrapping (torch DistributedSampler semantics) so every shard
+    has exactly ceil(n / num_shards) indices — otherwise per-process epoch
+    lengths differ by one batch and the process with the longer epoch hangs
+    in a collective step the others never enter (e.g. SRN-Cars n_obj=2347
+    on 8 hosts)."""
 
     def __init__(
         self,
@@ -222,6 +229,14 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         all_idx = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+        if num_shards > 1 and len(all_idx) % num_shards:
+            if len(all_idx) == 0:
+                raise ValueError("cannot shard an empty dataset")
+            pad = num_shards - len(all_idx) % num_shards
+            # wrap-pad so every shard gets the same count; the repeated
+            # examples are a vanishing fraction of an epoch (<= num_shards-1
+            # of n) and keep all processes' batch counts identical
+            all_idx = np.concatenate([all_idx, all_idx[:pad]])
         self.indices = all_idx[shard_index::num_shards]
         self._rng = np.random.default_rng(seed + shard_index)
 

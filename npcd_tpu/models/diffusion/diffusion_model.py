@@ -134,8 +134,15 @@ class DiffusionModel:
             noise=(coords_noise, feats_noise),
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _generate_batch(self, state: DiffusionState, rng: jax.Array, batch_size: int):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _generate_batch(
+        self,
+        state: DiffusionState,
+        rng: jax.Array,
+        batch_size: int,
+        return_trajectory: bool = False,
+        trajectory_stride: int = 1,
+    ):
         rng_c, rng_f, rng_loop = jax.random.split(rng, 3)
         coords_start = jax.random.normal(
             rng_c, (batch_size, self.coords_dim, self.num_points), jnp.float32
@@ -143,16 +150,21 @@ class DiffusionModel:
         feats_start = jax.random.normal(
             rng_f, (batch_size, self.feats_dim, self.num_points), jnp.float32
         )
-        coords, feats = self.process.p_sample_loop(
+        out = self.process.p_sample_loop(
             rng_loop,
             self.denoise_fn(state.params),
             coords_start,
             feats_start,
             coords_clip_range=(state.coords_norm.min[0], state.coords_norm.max[0]),
             feats_clip_range=(state.feats_norm.min[0], state.feats_norm.max[0]),
+            return_trajectory=return_trajectory,
+            trajectory_stride=trajectory_stride,
         )
+        coords, feats = out[0], out[1]
         coords = denormalize(state.coords_norm, coords)
         feats = denormalize(state.feats_norm, feats)
+        if return_trajectory:
+            return coords, feats, out[2]
         return coords, feats
 
     def generate(
@@ -162,19 +174,39 @@ class DiffusionModel:
         num: int,
         batch_size: int = 8,
         progress: bool = False,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        return_trajectory: bool = False,
+        trajectory_stride: int = 1,
+    ):
         """Generate `num` neural point clouds.
 
         Returns (coords [num, coords_dim, P], feats [num, feats_dim, P]) as
         stacked arrays (the reference returns python lists of per-object
         tensors; a dense batch is both equivalent and TPU-friendlier).
+
+        With ``return_trajectory=True`` a third element is returned: a
+        gaussian_diffusion.Trajectory whose fields are stacked over the
+        batch axis (axis 1). Trajectory states are in NORMALIZED latent
+        space — the reference collects them pre-denormalization too
+        (diffusion_model.py:119-127 denormalizes only the final state).
+        ``trajectory_stride`` keeps every stride-th step to bound memory.
         """
-        coords_out, feats_out = [], []
+        coords_out, feats_out, traj_out = [], [], []
         for i, bs in enumerate(split_num(num, batch_size)):
             rng, rng_batch = jax.random.split(rng)
-            coords, feats = self._generate_batch(state, rng_batch, bs)
-            coords_out.append(np.asarray(coords))
-            feats_out.append(np.asarray(feats))
+            out = self._generate_batch(
+                state, rng_batch, bs, return_trajectory, trajectory_stride
+            )
+            coords_out.append(np.asarray(out[0]))
+            feats_out.append(np.asarray(out[1]))
+            if return_trajectory:
+                traj_out.append(jax.tree_util.tree_map(np.asarray, out[2]))
             if progress:
                 logging.info(f"generated {sum(c.shape[0] for c in coords_out)}/{num}")
-        return np.concatenate(coords_out, 0), np.concatenate(feats_out, 0)
+        coords = np.concatenate(coords_out, 0)
+        feats = np.concatenate(feats_out, 0)
+        if return_trajectory:
+            traj = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, 1), *traj_out
+            )
+            return coords, feats, traj
+        return coords, feats

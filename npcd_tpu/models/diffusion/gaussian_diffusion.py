@@ -30,6 +30,21 @@ class PSampleOut(NamedTuple):
     feats_recon: jnp.ndarray
 
 
+class Trajectory(NamedTuple):
+    """Stacked reverse-process trajectory (reference
+    gaussian_diffusion.py:148-177 returns the same data as python lists).
+
+    coords_ts/feats_ts have a leading axis of K+1 (the start state x_T
+    followed by the K collected states, ending at x_0); the recon fields
+    have K entries (the x0-prediction at each collected step). K =
+    num_timesteps // trajectory_stride."""
+
+    coords_ts: jnp.ndarray
+    coords_recons: jnp.ndarray
+    feats_ts: jnp.ndarray
+    feats_recons: jnp.ndarray
+
+
 class GaussianDiffusion:
     def __init__(self, schedule: Optional[DiffusionSchedule] = None):
         self.schedule = schedule if schedule is not None else make_schedule()
@@ -132,12 +147,21 @@ class GaussianDiffusion:
         feats_start,
         coords_clip_range=None,
         feats_clip_range=None,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Full reverse trajectory as one lax.scan; returns final (coords, feats).
+        return_trajectory: bool = False,
+        trajectory_stride: int = 1,
+    ):
+        """Full reverse process as one lax.scan.
 
-        Unlike the reference trajectory collector
-        (gaussian_diffusion.py:148-177) we do not materialize all 1000
-        intermediate states — the eval path only consumes the final sample.
+        Default: returns only the final (coords, feats) — the FID eval path
+        consumes nothing else, so the 1000 intermediate states are never
+        materialized. With ``return_trajectory=True`` it additionally returns
+        a :class:`Trajectory` of stacked intermediate states and x0-recons
+        (the reference capability, gaussian_diffusion.py:148-177, used for
+        trajectory visualization/diagnostics). ``trajectory_stride`` keeps
+        only every stride-th step (must divide num_timesteps) to bound
+        memory; stride 1 collects every step like the reference. The rng
+        consumption is identical in both modes, so the final sample is
+        bit-equal regardless of the flags.
         """
         n = coords_start.shape[0]
 
@@ -149,11 +173,42 @@ class GaussianDiffusion:
                 rng_step, denoise_fn, coords_t, feats_t, t,
                 coords_clip_range, feats_clip_range,
             )
-            return (out.coords, out.feats, rng), None
+            return (out.coords, out.feats, rng), out
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
-        (coords, feats, _), _ = jax.lax.scan(step, (coords_start, feats_start, rng), ts)
-        return coords, feats
+        init = (coords_start, feats_start, rng)
+
+        if not return_trajectory:
+            (coords, feats, _), _ = jax.lax.scan(
+                lambda c, t: (step(c, t)[0], None), init, ts
+            )
+            return coords, feats
+
+        stride = trajectory_stride
+        if self.num_timesteps % stride:
+            raise ValueError(
+                f"trajectory_stride {stride} must divide num_timesteps "
+                f"{self.num_timesteps}"
+            )
+
+        def group(carry, t_group):
+            # inner scan advances `stride` steps; only the last step's
+            # state/recon is emitted, bounding trajectory memory to
+            # T/stride frames
+            carry, outs = jax.lax.scan(step, carry, t_group)
+            last = jax.tree_util.tree_map(lambda x: x[-1], outs)
+            return carry, last
+
+        (coords, feats, _), collected = jax.lax.scan(
+            group, init, ts.reshape(self.num_timesteps // stride, stride)
+        )
+        trajectory = Trajectory(
+            coords_ts=jnp.concatenate([coords_start[None], collected.coords], 0),
+            coords_recons=collected.coords_recon,
+            feats_ts=jnp.concatenate([feats_start[None], collected.feats], 0),
+            feats_recons=collected.feats_recon,
+        )
+        return coords, feats, trajectory
 
     # -- training loss ------------------------------------------------------
 

@@ -232,9 +232,12 @@ class DiffusionTraining:
                 if it % self.log_scalars_interval == 0 and jax.process_index() == 0:
                     writer.put_scalar_dict("diffusion_train", jax.device_get(metrics), it)
                     writer.write_out_storage()
-                if timed_save_due(last_ckpt_time, self.save_checkpoint_interval_min):
+                if timed_save_due(last_ckpt_time, self.save_checkpoint_interval_min,
+                                  iteration=it):
                     # all processes must agree (the save is collective), so
                     # the wall-clock decision is broadcast from process 0
+                    # (gated on the iteration counter to keep the blocking
+                    # collective off the hot path)
                     self.saver.save(jax.device_get(self.state), it)
                     last_ckpt_time = time.time()
                 if it % self.weights_only_interval == 0:

@@ -219,9 +219,12 @@ class PointNeRFTraining:
                     # multi-host: the un-jitted eval forward cannot consume
                     # the non-fully-addressable global params; skip
                     self._log_qualitative(batch, it)
-                if timed_save_due(last_ckpt_time, self.save_checkpoint_interval_min):
+                if timed_save_due(last_ckpt_time, self.save_checkpoint_interval_min,
+                                  iteration=it):
                     # all processes must agree (the save is collective), so
                     # the wall-clock decision is broadcast from process 0
+                    # (gated on the iteration counter to keep the blocking
+                    # collective off the hot path)
                     self.saver.save(jax.device_get(self.state), it)
                     last_ckpt_time = time.time()
 

@@ -32,15 +32,30 @@ def _sync(tag: str) -> None:
         multihost_utils.sync_global_devices(tag)
 
 
-def timed_save_due(last_save_time: float, interval_min: float) -> bool:
+def timed_save_due(
+    last_save_time: float,
+    interval_min: float,
+    iteration: Optional[int] = None,
+    check_every: int = 50,
+) -> bool:
     """Wall-clock checkpoint trigger that every process agrees on.
 
     Clocks differ across hosts; if each process gated on its own clock they
     would call the collective orbax save at different iterations and the
     training loops would desync (one process exits while the rest block in
-    a psum). Process 0's decision is broadcast to all."""
+    a psum). Process 0's decision is broadcast to all.
+
+    The broadcast is a blocking cross-host device collective — running it on
+    every training iteration would serialize the async-dispatch pipeline.
+    Callers pass the current ``iteration`` so the clock is only consulted
+    (and broadcast) every ``check_every`` steps; the iteration counter is
+    already identical across processes, so all of them skip or check
+    together. A checkpoint then lands at most ``check_every`` steps late,
+    irrelevant against a 20-minute interval."""
     import time
 
+    if iteration is not None and iteration % check_every != 0:
+        return False
     due = (time.time() - last_save_time) / 60 > interval_min
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -59,6 +74,15 @@ def _iter_of(path: str) -> Optional[int]:
 
 
 class CheckpointSaver:
+    """Full train-state snapshots with keep-N GC.
+
+    Multi-process runs assume ``base_dir`` is on a SHARED filesystem (GCS
+    fuse / NFS): orbax's save is collective, and the pre-save rmtree + GC
+    run on process 0 only. With per-host local checkpoint dirs, stale
+    directories on non-zero processes would never be cleaned and a
+    subsequent save could mix old files — point ``base_dir`` at shared
+    storage for any jax.process_count() > 1 job."""
+
     def __init__(self, base_dir: str, base_name: str, max_to_keep: Optional[int] = 3):
         self.base_dir = os.path.abspath(base_dir)
         self.base_name = base_name

@@ -112,3 +112,45 @@ def test_attention_gradients_flow():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+@pytest.mark.parametrize("b,s,h,d,valid_len", [(2, 16, 2, 64, 13), (1, 8, 2, 64, 5)])
+def test_fused_qkv_pallas_interpret_valid_len(b, s, h, d, valid_len):
+    """valid_len masking (the path production ALWAYS takes on TPU: seq padded
+    520, valid 513) in the fused-qkv kernel, forward + LSE-residual backward,
+    vs the einsum fallback's masking. Pad-query outputs are unspecified, so
+    the forward compares valid rows only and the backward uses a cotangent
+    that is zero on pad rows (their grads are then exactly zero both ways)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from npcd_tpu.ops.attention import fused_qkv_attention
+
+    qkv = jax.random.normal(jax.random.PRNGKey(11), (b, s, 3 * h * d))
+    ct = jax.random.normal(jax.random.PRNGKey(12), (b, s, h * d))
+    ct = ct * (jnp.arange(s) < valid_len).astype(ct.dtype)[None, :, None]
+
+    def loss(impl):
+        return lambda qkv: (
+            fused_qkv_attention(qkv, h, impl=impl, valid_len=valid_len) * ct
+        ).sum()
+
+    out_e = np.asarray(fused_qkv_attention(qkv, h, impl="einsum", valid_len=valid_len))
+    grad_e = np.asarray(jax.grad(loss("einsum"))(qkv))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out_p = np.asarray(
+                fused_qkv_attention(qkv, h, impl="pallas", valid_len=valid_len)
+            )
+            grad_p = np.asarray(jax.grad(loss("pallas"))(qkv))
+    except Exception as e:  # pragma: no cover - interpret mode support varies
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(
+        out_e[:, :valid_len], out_p[:, :valid_len], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(grad_e, grad_p, rtol=1e-4, atol=1e-5)
+    # pad KEY columns got softmax weight 0 -> their dk/dv must be exactly 0
+    w = h * d
+    dk = grad_p[:, :, w : 2 * w]
+    dv = grad_p[:, :, 2 * w :]
+    assert np.abs(dk[:, valid_len:]).max() == 0.0
+    assert np.abs(dv[:, valid_len:]).max() == 0.0

@@ -139,3 +139,76 @@ def test_calc_bpd_loop_perfect_denoiser():
         np.asarray(out["vb_feats"].sum(1) + out["prior_bpd_feats"]),
         rtol=1e-6,
     )
+
+
+def test_p_sample_loop_trajectory_matches_final():
+    """return_trajectory collects states without changing the final sample
+    (reference p_sample_loop_trajectory, gaussian_diffusion.py:148-177)."""
+    sched = make_schedule(num_diffusion_steps=12, beta_start=1e-4, beta_end=0.02)
+    gd = GaussianDiffusion(sched)
+    # a non-trivial denoiser so intermediate states actually evolve
+    fn = lambda c, f, t: (0.1 * c, 0.1 * f)
+    c0 = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8))
+    f0 = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    rng = jax.random.PRNGKey(2)
+
+    c_ref, f_ref = gd.p_sample_loop(rng, fn, c0, f0)
+    c, f, traj = gd.p_sample_loop(rng, fn, c0, f0, return_trajectory=True)
+
+    # identical rng consumption -> bit-equal final sample
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f_ref))
+
+    assert traj.coords_ts.shape == (13, 2, 3, 8)
+    assert traj.feats_ts.shape == (13, 2, 4, 8)
+    assert traj.coords_recons.shape == (12, 2, 3, 8)
+    assert traj.feats_recons.shape == (12, 2, 4, 8)
+    np.testing.assert_array_equal(np.asarray(traj.coords_ts[0]), np.asarray(c0))
+    np.testing.assert_array_equal(np.asarray(traj.coords_ts[-1]), np.asarray(c))
+    np.testing.assert_array_equal(np.asarray(traj.feats_ts[-1]), np.asarray(f))
+
+
+def test_p_sample_loop_trajectory_stride():
+    sched = make_schedule(num_diffusion_steps=12, beta_start=1e-4, beta_end=0.02)
+    gd = GaussianDiffusion(sched)
+    fn = lambda c, f, t: (0.1 * c, 0.1 * f)
+    c0 = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8))
+    f0 = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    rng = jax.random.PRNGKey(2)
+
+    c1, f1, dense = gd.p_sample_loop(rng, fn, c0, f0, return_trajectory=True)
+    c4, f4, strided = gd.p_sample_loop(
+        rng, fn, c0, f0, return_trajectory=True, trajectory_stride=4
+    )
+    np.testing.assert_array_equal(np.asarray(c4), np.asarray(c1))
+    assert strided.coords_ts.shape == (4, 2, 3, 8)  # start + 3 collected
+    # strided frames are every 4th dense frame
+    np.testing.assert_array_equal(
+        np.asarray(strided.coords_ts), np.asarray(dense.coords_ts[::4])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(strided.coords_recons), np.asarray(dense.coords_recons[3::4])
+    )
+
+    with pytest.raises(ValueError):
+        gd.p_sample_loop(rng, fn, c0, f0, return_trajectory=True, trajectory_stride=5)
+
+
+def test_generate_return_trajectory():
+    from npcd_tpu.models.diffusion import DiffusionModel
+    from npcd_tpu.models.diffusion.gaussian_diffusion import GaussianDiffusion as GD
+
+    model = DiffusionModel(coords_dim=3, feats_dim=4, num_points=8,
+                           width=16, layers=1, heads=2, attn_impl="einsum")
+    model.process = GD(make_schedule(num_diffusion_steps=6, beta_start=1e-4, beta_end=0.02))
+    state = model.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    c_ref, f_ref = model.generate(state, rng, num=5, batch_size=3)
+    c, f, traj = model.generate(
+        state, rng, num=5, batch_size=3, return_trajectory=True,
+        trajectory_stride=2,
+    )
+    np.testing.assert_array_equal(c, c_ref)
+    np.testing.assert_array_equal(f, f_ref)
+    assert traj.coords_ts.shape == (4, 5, 3, 8)  # start + 3 strided frames
+    assert traj.feats_recons.shape == (3, 5, 4, 8)
