@@ -10,6 +10,7 @@ paths.toml next to this file or ~/npcd_tpu_data_paths.toml.
 from __future__ import annotations
 
 import abc
+import os
 import os.path as osp
 import queue
 import threading
@@ -46,6 +47,11 @@ def get_paths() -> Dict[str, Any]:
 
 
 def get_path(*keys: str) -> Optional[str]:
+    # env override, highest priority: NPCD_TPU_<KEY1>_<KEY2>... (e.g.
+    # NPCD_TPU_SRN_ROOT) — used by tools/parity_eval.py --srn-root
+    env = "NPCD_TPU_" + "_".join(k.upper() for k in keys)
+    if os.environ.get(env):
+        return os.environ[env]
     node: Any = get_paths()
     for key in keys:
         if not isinstance(node, dict) or key not in node:

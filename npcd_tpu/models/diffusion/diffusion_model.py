@@ -48,6 +48,7 @@ class DiffusionModel:
         heads: int = 16,
         dtype: jnp.dtype = jnp.float32,
         attn_impl: str = "auto",
+        qkv_groups: Optional[int] = None,
         remat: bool = False,
         remat_policy: str = "full",
     ):
@@ -62,6 +63,7 @@ class DiffusionModel:
             heads=heads,
             dtype=dtype,
             attn_impl=attn_impl,
+            qkv_groups=qkv_groups,
             remat=remat,
             remat_policy=remat_policy,
         )
@@ -102,6 +104,7 @@ class DiffusionModel:
         coords,
         feats,
         example_offset=0,
+        denoiser=None,
     ):
         """coords: [N, coords_dim, P], feats: [N, feats_dim, P] (latent space).
 
@@ -109,7 +112,11 @@ class DiffusionModel:
         fold_in(rng, example_offset + i), so the loss is invariant to batch
         sharding: a shard_map step passes its shard's global offset
         (axis_index * shard_size) and reproduces exactly the draws the
-        single-device / GSPMD step makes for the same examples."""
+        single-device / GSPMD step makes for the same examples.
+
+        `denoiser` overrides the module applied to state.params — the
+        shard_map tensor-parallel step passes a tp>1 clone whose params are
+        the local shards (parallel/tp_step.py)."""
         coords = normalize(state.coords_norm, coords)
         feats = normalize(state.feats_norm, feats)
         n = coords.shape[0]
@@ -129,8 +136,12 @@ class DiffusionModel:
                 jax.random.fold_in(k, 2), feats.shape[1:], feats.dtype
             )
         )(keys)
+        if denoiser is None:
+            fn = self.denoise_fn(state.params)
+        else:
+            fn = lambda c, f, tt: denoiser.apply({"params": state.params}, c, f, tt)
         return self.process.p_losses(
-            rng, self.denoise_fn(state.params), coords, feats, t,
+            rng, fn, coords, feats, t,
             noise=(coords_noise, feats_noise),
         )
 

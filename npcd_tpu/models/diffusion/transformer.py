@@ -19,8 +19,9 @@ flash-attn / einsum dual path.
 """
 from __future__ import annotations
 
+import functools
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -45,6 +46,55 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000
 
 def _normal_init(std: float):
     return nn.initializers.normal(stddev=std)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_replicate(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Megatron's "f" operator: identity forward, psum over the tensor-
+    parallel mesh axis backward.
+
+    Inserted where a replicated activation enters a column-parallel branch
+    (inside shard_map): the local backward only carries this shard's
+    contribution to the activation's cotangent, and the psum restores the
+    full (replicated) cotangent so every upstream replicated parameter gets
+    its complete gradient. The matching "g" (psum forward, identity
+    backward) is the explicit psum after each row-parallel projection."""
+    return x
+
+
+def _tp_replicate_fwd(x, axis):
+    return x, None
+
+
+def _tp_replicate_bwd(axis, _, ct):
+    return (jax.lax.psum(ct, axis),)
+
+
+tp_replicate.defvjp(_tp_replicate_fwd, _tp_replicate_bwd)
+
+
+class RowParallelDense(nn.Module):
+    """Row-parallel Dense for shard_map tensor parallelism: the kernel holds
+    this shard's rows ([in/tp, out]); the matmul produces a partial result
+    that is psum'd over the model axis, and the (replicated) bias is added
+    once after the reduction. Parameter names match nn.Dense so single-
+    device checkpoints shard transparently (parallel/tp.py row specs)."""
+
+    features: int
+    axis: str
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        y = jax.lax.psum(y, self.axis)
+        return y + bias.astype(y.dtype)
 
 
 def _slab_rows(m: int) -> int:
@@ -149,11 +199,17 @@ class TransformerMLP(nn.Module):
     init_scale: float
     dtype: jnp.dtype = jnp.float32
     remat_tail: bool = False
+    # shard_map tensor parallelism (parallel/tp_step.py): c_fc holds 4W/tp
+    # output columns, c_proj holds 4W/tp input rows + psum over tp_axis
+    tp: int = 1
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.tp > 1:
+            x = tp_replicate(x, self.tp_axis)
         a = nn.Dense(
-            self.width * 4,
+            self.width * 4 // self.tp,
             kernel_init=_normal_init(self.init_scale),
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
@@ -162,11 +218,20 @@ class TransformerMLP(nn.Module):
 
         def tail(mdl, a):
             ga = nn.gelu(a, approximate=False)
+            if mdl.tp > 1:
+                return RowParallelDense(
+                    features=mdl.width,
+                    axis=mdl.tp_axis,
+                    kernel_init=_normal_init(mdl.init_scale),
+                    dtype=mdl.dtype,
+                    name="c_proj",
+                    parent=mdl,
+                )(ga)
             return nn.Dense(
-                self.width,
-                kernel_init=_normal_init(self.init_scale),
+                mdl.width,
+                kernel_init=_normal_init(mdl.init_scale),
                 bias_init=nn.initializers.zeros,
-                dtype=self.dtype,
+                dtype=mdl.dtype,
                 name="c_proj",
                 parent=mdl,
             )(ga)
@@ -192,33 +257,54 @@ class MultiheadAttention(nn.Module):
     valid_len: int  # real tokens per sequence (num_points + 1 time token)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    qkv_groups: int = 1
+    # shard_map tensor parallelism (parallel/tp_step.py): this shard owns
+    # heads/tp heads = qkv_groups/tp whole layout groups; c_qkv holds their
+    # 3W/tp output columns, attention runs locally on them, c_proj holds
+    # W/tp input rows + psum over tp_axis
+    tp: int = 1
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.tp > 1:
+            x = tp_replicate(x, self.tp_axis)
         qkv = nn.Dense(
-            self.width * 3,
+            self.width * 3 // self.tp,
             kernel_init=_normal_init(self.init_scale),
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="c_qkv",
         )(x)
-        # The projection's output channels use a global [Q|K|V] order (heads
-        # contiguous within each third) instead of the reference's per-head
-        # [q|k|v] groups (transformer.py:71-73) so the Pallas kernel can map
-        # tiled views of the fused tensor with zero HBM copies; the torch
-        # weight converter permutes the columns once at load time.
-        # NOTE: jax checkpoints saved before this layout change (any
-        # pre-fused-qkv-kernel snapshot) hold per-head-ordered c_qkv columns
-        # and are NOT loadable into this model without the same permutation
-        # (convert_reference._permute_qkv_global applied to the kernel/bias).
+        # The projection's output channels use a grouped [Q|K|V] order
+        # (qkv_groups head groups, each internally [Q_g|K_g|V_g] with heads
+        # contiguous) instead of the reference's per-head [q|k|v] groups
+        # (transformer.py:71-73), so (a) the Pallas kernel can map tiled
+        # views of the fused tensor with zero HBM copies and (b) a tensor-
+        # parallel column split (tp dividing qkv_groups) lands on whole head
+        # groups (npcd_tpu/parallel/tp.py). The torch weight converter
+        # permutes the columns once at load time.
+        # NOTE: the column order depends on qkv_groups — jax checkpoints
+        # saved under a different group count (or the old global layout,
+        # which is qkv_groups=1) need a one-time permutation
+        # (convert_reference.relayout_qkv) before loading.
         out = fused_qkv_attention_tokens(
             qkv,
-            self.heads,
+            self.heads // self.tp,
             batch=qkv.shape[0] // self.seq,
             seq=self.seq,
             impl=self.attn_impl,
             valid_len=self.valid_len,
+            groups=self.qkv_groups // self.tp,
         )
+        if self.tp > 1:
+            return RowParallelDense(
+                features=self.width,
+                axis=self.tp_axis,
+                kernel_init=_normal_init(self.init_scale),
+                dtype=self.dtype,
+                name="c_proj",
+            )(out)
         out = nn.Dense(
             self.width,
             kernel_init=_normal_init(self.init_scale),
@@ -247,6 +333,9 @@ class ResidualAttentionBlock(nn.Module):
     valid_len: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    qkv_groups: int = 1
+    tp: int = 1
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pending: Optional[jnp.ndarray] = None):
@@ -263,6 +352,9 @@ class ResidualAttentionBlock(nn.Module):
             valid_len=self.valid_len,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            qkv_groups=self.qkv_groups,
+            tp=self.tp,
+            tp_axis=self.tp_axis,
             name="attn",
         )(y1.astype(self.dtype))
         x, y2 = ln("ln_2")(x, attn_out)
@@ -270,6 +362,8 @@ class ResidualAttentionBlock(nn.Module):
             width=self.width,
             init_scale=self.init_scale,
             dtype=self.dtype,
+            tp=self.tp,
+            tp_axis=self.tp_axis,
             name="mlp",
         )(y2.astype(self.dtype))
         return x, mlp_out
@@ -290,15 +384,38 @@ class NPCDTransformer(nn.Module):
     init_scale: float = 0.25
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # grouped [Q|K|V] channel layout of the fused qkv projections: None
+    # resolves to ops.attention.default_qkv_groups (G=2 at the flagship
+    # geometry). Tensor parallelism requires tp to divide the group count.
+    qkv_groups: Optional[int] = None
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
     # remat granularity: "full" recomputes whole blocks; "dots" saves matmul
     # outputs and recomputes only elementwise ops (layernorm/gelu/softmax) —
     # ~10% extra FLOPs instead of ~33%, at higher activation memory
     remat_policy: str = "full"
+    # shard_map tensor parallelism: tp > 1 means this module instance runs
+    # INSIDE shard_map on a tp-way model axis, with params holding the local
+    # shards (parallel/tp.py specs). Requires tp | qkv_groups.
+    tp: int = 1
+    tp_axis: str = "model"
+
+    def resolved_qkv_groups(self) -> int:
+        if self.qkv_groups is not None:
+            return self.qkv_groups
+        from ...ops.attention import default_qkv_groups
+
+        return default_qkv_groups(self.heads, self.width // self.heads)
 
     @nn.compact
     def __call__(self, coords: jnp.ndarray, feats: jnp.ndarray, t: jnp.ndarray):
         n, _, p = coords.shape
+        qkv_groups = self.resolved_qkv_groups()
+        if self.tp > 1 and (qkv_groups % self.tp or self.heads % self.tp):
+            raise ValueError(
+                f"tensor parallelism needs tp | qkv_groups and tp | heads; got "
+                f"tp={self.tp}, qkv_groups={qkv_groups}, heads={self.heads} "
+                f"(set qkv_groups explicitly on the model)"
+            )
         valid = p + 1  # real tokens: points + 1 time token
         seq = -(-valid // 8) * 8  # padded to a sublane multiple (513 -> 520)
         in_channels = self.coords_dim + self.feats_dim
@@ -330,6 +447,8 @@ class NPCDTransformer(nn.Module):
             width=self.width,
             init_scale=block_init_scale,
             dtype=self.dtype,
+            tp=self.tp,
+            tp_axis=self.tp_axis,
             name="time_embed",
         )(timestep_embedding(t, self.width).astype(self.dtype))  # [N, width]
 
@@ -358,6 +477,9 @@ class NPCDTransformer(nn.Module):
                 valid_len=valid,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                qkv_groups=qkv_groups,
+                tp=self.tp,
+                tp_axis=self.tp_axis,
                 name=f"resblocks_{i}",
             )(h, pending)
         _, h = FusedLayerNorm(name="ln_post")(h, pending)

@@ -36,11 +36,67 @@ def _einsum_attention(
     return jnp.einsum("bhts,bshc->bthc", weights, v)
 
 
+def split_grouped_qkv(qkv: jnp.ndarray, heads: int, groups: int = 1):
+    """Split fused qkv [..., 3W] in the grouped [Q|K|V] channel layout
+    (ops/pallas/fused_qkv_attention.py module docstring; groups=1 is the
+    global [Q|K|V] order) into q, k, v each [..., H, D] head-major."""
+    *lead, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    hg = heads // groups
+    x = qkv.reshape(*lead, groups, 3, hg, d)
+    return tuple(
+        x[..., t, :, :].reshape(*lead, heads, d) for t in range(3)
+    )
+
+
+def default_qkv_groups(heads: int, d: int) -> int:
+    """Default grouped-qkv layout group count for a head geometry.
+
+    Chooses G = heads / hpb where hpb is the Pallas kernel's preferred
+    per-program head block — the grouped layout then has exactly one kernel
+    block per (group, third), so the kernel geometry (grid, block shapes,
+    VMEM footprint) is identical to the global [Q|K|V] layout and tensor
+    parallelism up to tp=G splits on whole head groups for free. Falls back
+    to 1 (global layout) when the geometry can't tile the 128-lane dim
+    (small test models on the einsum path). Flagship (16 heads, D=64): G=2.
+    Configs targeting tp>G must set qkv_groups explicitly (any G with
+    heads % G == 0 and (heads/G)*D a lane multiple works, e.g. G=8 for
+    tp=4/8 at the flagship geometry)."""
+    from .pallas.fused_qkv_attention import _heads_per_block
+
+    hpb = _heads_per_block(heads, d, 1)
+    if (hpb * d) % 128 == 0 and heads % hpb == 0:
+        return heads // hpb
+    return 1
+
+
+def _pallas_qkv_supported(heads: int, d: int, groups: int, dtype) -> bool:
+    from .pallas.fused_qkv_attention import _heads_per_block
+
+    if heads % groups:
+        return False
+    hpb = _heads_per_block(heads, d, groups)
+    # the per-program column width must tile the 128-lane dim (or span the
+    # whole per-group third, i.e. hpb == heads//groups with (hpb*d) % 128 == 0)
+    return (
+        _on_tpu()
+        and d in (64, 128)
+        and (hpb * d) % 128 == 0
+        and dtype in (jnp.float32, jnp.bfloat16)
+    )
+
+
 def fused_qkv_attention(
-    qkv: jnp.ndarray, heads: int, impl: str = "auto", valid_len: int | None = None
+    qkv: jnp.ndarray,
+    heads: int,
+    impl: str = "auto",
+    valid_len: int | None = None,
+    groups: int = 1,
 ) -> jnp.ndarray:
-    """Attention over fused qkv [B, S, 3W] in *global* [Q|K|V] channel order
-    (heads contiguous within each third) -> [B, S, W].
+    """Attention over fused qkv [B, S, 3W] in the grouped [Q|K|V] channel
+    layout (groups head groups, each internally [Q_g|K_g|V_g]; groups=1 is
+    the global [Q|K|V] order) -> [B, S, W] head-major.
 
     On TPU ("auto"/"pallas") this dispatches to the zero-copy Pallas kernel
     that reads the fused tensor via three index-mapped views — no HBM-level
@@ -61,26 +117,17 @@ def fused_qkv_attention(
     if valid_len is not None and valid_len >= s:
         valid_len = None
     if impl == "auto":
-        from .pallas.fused_qkv_attention import _heads_per_block
-
-        hpb = _heads_per_block(heads, d)
-        supported = (
-            _on_tpu()
-            and d in (64, 128)
-            # the head-group column width must tile the 128-lane dim
-            # (or span the whole third, i.e. hpb == heads with w % 128 == 0)
-            and (hpb * d) % 128 == 0
-            # the 2D kernel's row blocks start at i*s: s must be a sublane
-            # multiple (or there is only one sequence)
-            and (s % 8 == 0 or b == 1)
-            and qkv.dtype in (jnp.float32, jnp.bfloat16)
+        # the 2D kernel's row blocks start at i*s: s must be a sublane
+        # multiple (or there is only one sequence)
+        supported = _pallas_qkv_supported(heads, d, groups, qkv.dtype) and (
+            s % 8 == 0 or b == 1
         )
         impl = "pallas" if supported else "einsum"
     if impl == "pallas":
         from .pallas.fused_qkv_attention import fused_qkv_attention as _kernel
 
-        return _kernel(qkv, heads, valid_len)
-    q, k, v = (x.reshape(b, s, heads, d) for x in jnp.split(qkv, 3, axis=-1))
+        return _kernel(qkv, heads, valid_len, groups)
+    q, k, v = split_grouped_qkv(qkv, heads, groups)
     return multi_head_attention(q, k, v, impl=impl, valid_len=valid_len).reshape(b, s, w)
 
 
@@ -91,6 +138,7 @@ def fused_qkv_attention_tokens(
     seq: int,
     impl: str = "auto",
     valid_len: int | None = None,
+    groups: int = 1,
 ) -> jnp.ndarray:
     """2D-token variant of fused_qkv_attention: qkv [B*S, 3W] -> [B*S, W],
     rows batch-major. On TPU this feeds the Pallas kernel the 2D array
@@ -103,23 +151,15 @@ def fused_qkv_attention_tokens(
     if valid_len is not None and valid_len >= seq:
         valid_len = None
     if impl == "auto":
-        from .pallas.fused_qkv_attention import _heads_per_block
-
-        hpb = _heads_per_block(heads, d)
-        supported = (
-            _on_tpu()
-            and d in (64, 128)
-            and (hpb * d) % 128 == 0
-            and seq % 8 == 0
-            and qkv.dtype in (jnp.float32, jnp.bfloat16)
-        )
+        supported = _pallas_qkv_supported(heads, d, groups, qkv.dtype) and seq % 8 == 0
         impl = "pallas" if supported else "einsum"
     if impl == "pallas":
         from .pallas.fused_qkv_attention import fused_qkv_attention_2d
 
-        return fused_qkv_attention_2d(qkv, heads, batch, seq, valid_len)
+        return fused_qkv_attention_2d(qkv, heads, batch, seq, valid_len, groups)
     out = fused_qkv_attention(
-        qkv.reshape(batch, seq, 3 * w), heads, impl=impl, valid_len=valid_len
+        qkv.reshape(batch, seq, 3 * w), heads, impl=impl, valid_len=valid_len,
+        groups=groups,
     )
     return out.reshape(batch * seq, w)
 

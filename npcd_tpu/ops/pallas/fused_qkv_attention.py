@@ -16,11 +16,21 @@ operands, XLA folded the boundary reshapes into the neighbouring projection
 dX matmuls and emitted them as batch-in-sublanes convolutions at ~57% MXU
 utilization (the plain 2D dots run at ~98%).
 
-To make the blocks tileable the qkv projection uses a *global* [Q | K | V]
-channel order (heads contiguous inside each of Q/K/V) instead of the
-reference's per-head [q|k|v] groups — a pure relabeling of the projection's
-output channels; the torch->jax weight converter applies the corresponding
-one-time column permutation (npcd_tpu/utils/convert_reference.py).
+To make the blocks tileable the qkv projection uses a *grouped* [Q | K | V]
+channel order instead of the reference's per-head [q|k|v] groups — a pure
+relabeling of the projection's output channels; the torch->jax weight
+converter applies the corresponding one-time column permutation
+(npcd_tpu/utils/convert_reference.py). The layout has ``groups`` head
+groups; group g (heads [g*H/G, (g+1)*H/G)) owns the contiguous column range
+[g*3*Wg, (g+1)*3*Wg) (Wg = W/G), internally ordered [Q_g | K_g | V_g] with
+heads contiguous inside each third. ``groups=1`` is the global [Q|K|V]
+order. The grouping exists for tensor parallelism: a TP split of the
+projection's output columns into ``tp`` parts (tp dividing G) lands on
+whole head groups, so every shard owns complete (q, k, v) triples for its
+heads and attention needs no cross-shard communication
+(npcd_tpu/parallel/tp.py). The flagship config (16 heads, D=64) defaults to
+G=2 — identical kernel blocks/grid to the global layout, just a different
+column index map.
 
   * the same qkv array is passed three times with different index_maps, so
     each grid program sees its Q/K/V column group as an ordinary tiled
@@ -45,12 +55,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _heads_per_block(heads: int, d: int) -> int:
-    """Largest head group whose column width divides 128 or spans all heads."""
+def _heads_per_block(heads: int, d: int, groups: int = 1) -> int:
+    """Largest per-program head count whose column width is lane-aligned.
+
+    Operates within one layout group of heads//groups heads: the block must
+    evenly tile the group's per-third column range."""
+    hg = heads // groups
     for hpb in (8, 4, 2):
-        if heads % hpb == 0 and (hpb * d) % 128 == 0:
+        if hg % hpb == 0 and (hpb * d) % 128 == 0:
             return hpb
-    return heads
+    return hg
 
 
 def _logits(q, k, sm_scale, valid_len):
@@ -135,36 +149,39 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
         dv_ref[:, sl] = dv.astype(dv_ref.dtype)
 
 
-def _specs(s, w, hpb_cols):
-    """Index maps selecting the Q/K/V thirds of the fused [B*S, 3W] array.
+def _specs(s, hpb_cols, m):
+    """Index maps selecting Q/K/V column blocks of the fused [B*S, 3W] array
+    in the grouped layout (see module docstring).
 
-    Row block i is sequence i (rows [i*s, (i+1)*s)); column block j*hpb_cols
-    within third `third`."""
+    Row block i is sequence i (rows [i*s, (i+1)*s)). Grid program j maps to
+    layout group g = j // m, sub-block u = j % m (m = column blocks per
+    third per group); group g's region starts at block g*3*m, third `third`
+    within it at +third*m. With one group this is the global [Q|K|V] map
+    third*m + j."""
     def at(third):
-        scale = w // hpb_cols  # column-blocks per third
-        return pl.BlockSpec(
-            (s, hpb_cols),
-            lambda i, j, third=third, scale=scale: (i, third * scale + j),
-            memory_space=pltpu.VMEM,
-        )
+        def imap(i, j, third=third):
+            g = j // m
+            u = j % m
+            return (i, g * 3 * m + third * m + u)
+        return pl.BlockSpec((s, hpb_cols), imap, memory_space=pltpu.VMEM)
     return at
 
 
-def _fwd_impl(qkv, heads, b, s, valid_len):
+def _fwd_impl(qkv, heads, b, s, valid_len, groups=1):
     w = qkv.shape[-1] // 3
     d = w // heads
-    hpb = _heads_per_block(heads, d)
+    hpb = _heads_per_block(heads, d, groups)
     cols = hpb * d
-    n_groups = heads // hpb
-    at = _specs(s, w, cols)
+    n_prog = heads // hpb  # grid programs per sequence (all groups)
+    at = _specs(s, cols, n_prog // groups)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, d=d, hpb=hpb,
                           sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
         out_shape=(
             jax.ShapeDtypeStruct((b * s, w), qkv.dtype),
-            jax.ShapeDtypeStruct((b, n_groups, s, hpb), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_prog, s, hpb), jnp.float32),
         ),
-        grid=(b, n_groups),
+        grid=(b, n_prog),
         in_specs=[at(0), at(1), at(2)],
         out_specs=(
             pl.BlockSpec((s, cols), lambda i, j: (i, j),
@@ -176,12 +193,12 @@ def _fwd_impl(qkv, heads, b, s, valid_len):
     return out, lse
 
 
-def _bwd_impl(qkv, lse, g, heads, b, s, valid_len):
+def _bwd_impl(qkv, lse, g, heads, b, s, valid_len, groups=1):
     w = qkv.shape[-1] // 3
     d = w // heads
-    hpb = _heads_per_block(heads, d)
+    hpb = _heads_per_block(heads, d, groups)
     cols = hpb * d
-    at = _specs(s, w, cols)
+    at = _specs(s, cols, heads // hpb // groups)
     grad_spec = pl.BlockSpec((s, cols), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, 1, s, hpb), lambda i, j: (i, j, 0, 0),
@@ -195,38 +212,51 @@ def _bwd_impl(qkv, lse, g, heads, b, s, valid_len):
         in_specs=[at(0), at(1), at(2), grad_spec, lse_spec],
         out_specs=(grad_spec, grad_spec, grad_spec),
     )(qkv, qkv, qkv, g, lse)
-    return jnp.concatenate([dq, dk, dv], axis=-1)
+    if groups == 1:
+        return jnp.concatenate([dq, dk, dv], axis=-1)
+    # dq/dk/dv come out head-major; interleave them back into the grouped
+    # [Q_g|K_g|V_g] column order of the input (one fused HBM write, same
+    # traffic as the groups=1 concatenate)
+    m = b * s
+    wg = w // groups
+    stacked = jnp.stack(
+        [x.reshape(m, groups, wg) for x in (dq, dk, dv)], axis=2
+    )  # [M, G, 3, Wg]
+    return stacked.reshape(m, 3 * w)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def fused_qkv_attention_2d(
-    qkv: jnp.ndarray, heads: int, b: int, s: int, valid_len=None
+    qkv: jnp.ndarray, heads: int, b: int, s: int, valid_len=None, groups: int = 1
 ) -> jnp.ndarray:
-    """Attention over fused qkv [B*S, 3W] 2D tokens (global [Q|K|V] channel
-    order, heads contiguous within each third) -> [B*S, W]. Non-causal,
+    """Attention over fused qkv [B*S, 3W] 2D tokens in the grouped [Q|K|V]
+    channel layout (see module docstring; groups=1 is the global order)
+    -> [B*S, W] with heads in plain head-major column order. Non-causal,
     softmax scale 1/sqrt(D). Rows are batch-major (row = b*s + i). Keys at
     positions >= valid_len (if given) are masked out of the softmax —
     callers pad S to a sublane multiple so everything around the kernel
     stays 2D; pad-query outputs are garbage the caller discards."""
-    out, _ = _fwd_impl(qkv, heads, b, s, valid_len)
+    out, _ = _fwd_impl(qkv, heads, b, s, valid_len, groups)
     return out
 
 
-def _vjp_fwd(qkv, heads, b, s, valid_len):
-    out, lse = _fwd_impl(qkv, heads, b, s, valid_len)
+def _vjp_fwd(qkv, heads, b, s, valid_len, groups):
+    out, lse = _fwd_impl(qkv, heads, b, s, valid_len, groups)
     return out, (qkv, lse)
 
 
-def _vjp_bwd(heads, b, s, valid_len, res, g):
+def _vjp_bwd(heads, b, s, valid_len, groups, res, g):
     qkv, lse = res
-    return (_bwd_impl(qkv, lse, g, heads, b, s, valid_len),)
+    return (_bwd_impl(qkv, lse, g, heads, b, s, valid_len, groups),)
 
 
 fused_qkv_attention_2d.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def fused_qkv_attention(qkv: jnp.ndarray, heads: int, valid_len=None) -> jnp.ndarray:
+def fused_qkv_attention(
+    qkv: jnp.ndarray, heads: int, valid_len=None, groups: int = 1
+) -> jnp.ndarray:
     """3D wrapper: [B, S, 3W] -> [B, S, W] (see fused_qkv_attention_2d)."""
     b, s, w3 = qkv.shape
-    out = fused_qkv_attention_2d(qkv.reshape(b * s, w3), heads, b, s, valid_len)
+    out = fused_qkv_attention_2d(qkv.reshape(b * s, w3), heads, b, s, valid_len, groups)
     return out.reshape(b, s, w3 // 3)

@@ -5,3 +5,8 @@ from .pointnerf_sharding import (
     shard_pointnerf_params,
 )
 from .tp import denoiser_param_specs, denoiser_param_shardings, shard_denoiser_params
+from .tp_step import (
+    make_tp_diffusion_train_step,
+    shard_train_state,
+    train_state_specs,
+)

@@ -5,14 +5,28 @@ Megatron-style TP of the transformer blocks expressed as GSPMD sharding
 hints over a ('data', 'model') mesh —
 
   * column-parallel: fused qkv and MLP up-projection kernels split on the
-    output dim (heads stay contiguous per shard: the fused [q|k|v] layout is
-    per-head, so sharding columns shards heads; requires heads % tp == 0)
+    output dim. The qkv projection's grouped [Q|K|V] channel layout
+    (ops/pallas/fused_qkv_attention.py) makes the split head-aligned: with
+    tp dividing the model's qkv_groups, each shard owns whole head groups —
+    complete (q, k, v) triples for heads [g*H/tp, (g+1)*H/tp) — so
+    attention is shard-local and GSPMD needs no activation all-gather
+    (asserted on the compiled HLO in tests/test_tp.py).
   * row-parallel: attention output and MLP down-projection kernels split on
     the input dim (XLA inserts the all-reduce over ICI)
   * everything else (layernorms, embeddings, input/output projections)
     replicated
 
-Apply with jax.device_put / jit shardings; XLA handles the collectives.
+Requires tp | qkv_groups (the flagship 16-head/D-64 config defaults to
+qkv_groups=2; set qkv_groups=4 or 8 in the model for higher TP degrees).
+
+Two ways to run it:
+  * GSPMD: apply these shardings with jax.device_put / jit; XLA inserts the
+    collectives. Works with the einsum attention path (XLA partitions the
+    per-head einsums); the Pallas attention custom call is opaque to GSPMD,
+    so production TP uses —
+  * shard_map: parallel/tp_step.py writes the per-shard program explicitly
+    (local head-group attention through the Pallas kernel, psum after the
+    row-parallel projections).
 """
 from __future__ import annotations
 

@@ -17,10 +17,12 @@ Source layout (the reference NPCD state_dict):
 
 torch Linear stores weight as [out, in]; flax/our Dense kernels are
 [in, out] -> transpose. The reference's fused qkv projection emits per-head
-[q|k|v] channel groups (transformer.py:71-73); the TPU build uses a global
-[Q|K|V] order (heads contiguous within each third) so the Pallas attention
-kernel can view the fused tensor without HBM copies — the converter applies
-that column permutation once here (see ops/pallas/fused_qkv_attention.py).
+[q|k|v] channel groups (transformer.py:71-73); the TPU build uses a grouped
+[Q|K|V] order (qkv_groups head groups, each internally [Q_g|K_g|V_g]) so
+the Pallas attention kernel can view the fused tensor without HBM copies
+and tensor-parallel column splits land on whole head groups — the converter
+applies that column permutation once here (see
+ops/pallas/fused_qkv_attention.py, parallel/tp.py).
 """
 from __future__ import annotations
 
@@ -90,16 +92,54 @@ def convert_pointnerf_params(
     }
 
 
-def _permute_qkv_global(kernel: np.ndarray, bias: np.ndarray, heads: int):
-    """Per-head [q|k|v] output channels -> global [Q|K|V] (heads contiguous).
+def _permute_qkv_grouped(
+    kernel: np.ndarray, bias: np.ndarray, heads: int, groups: int
+):
+    """Per-head [q|k|v] output channels -> grouped [Q|K|V] layout.
 
-    kernel: [in, 3W]; bias: [3W]. Source column h*3d + g*d + j maps to
-    g*W + h*d + j (g in {q,k,v})."""
+    kernel: [in, 3W]; bias: [3W]. The target layout (see
+    ops/pallas/fused_qkv_attention.py) has `groups` head groups; group g
+    owns columns [g*3*Wg, (g+1)*3*Wg) ordered [Q_g | K_g | V_g] with heads
+    contiguous inside each third (groups=1 is the global [Q|K|V] order).
+    Source column h*3d + t*d + j maps to
+    (h//hg)*3*hg*d + t*hg*d + (h%hg)*d + j with hg = heads/groups."""
     in_dim, w3 = kernel.shape
     d = w3 // (3 * heads)
-    k = kernel.reshape(in_dim, heads, 3, d).transpose(0, 2, 1, 3).reshape(in_dim, w3)
-    b = bias.reshape(heads, 3, d).transpose(1, 0, 2).reshape(w3)
+    hg = heads // groups
+    k = (
+        kernel.reshape(in_dim, groups, hg, 3, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(in_dim, w3)
+    )
+    b = bias.reshape(groups, hg, 3, d).transpose(0, 2, 1, 3).reshape(w3)
     return np.ascontiguousarray(k), np.ascontiguousarray(b)
+
+
+def relayout_qkv(
+    kernel: np.ndarray,
+    bias: np.ndarray,
+    heads: int,
+    from_groups: int,
+    to_groups: int,
+):
+    """Permute fused-qkv projection output channels between grouped [Q|K|V]
+    layouts (e.g. migrate a checkpoint saved under the old global layout,
+    from_groups=1, to the flagship default qkv_groups=2)."""
+    if from_groups == to_groups:
+        return kernel, bias
+    in_dim, w3 = kernel.shape
+    d = w3 // (3 * heads)
+    hg_f = heads // from_groups
+
+    # grouped -> per-head [q|k|v] (inverse of _permute_qkv_grouped)
+    k = (
+        kernel.reshape(in_dim, from_groups, 3, hg_f, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(in_dim, w3)
+    )
+    b = bias.reshape(from_groups, 3, hg_f, d).transpose(0, 2, 1, 3).reshape(w3)
+    return _permute_qkv_grouped(np.ascontiguousarray(k), np.ascontiguousarray(b),
+                                heads, to_groups)
 
 
 def convert_denoiser_params(
@@ -107,6 +147,7 @@ def convert_denoiser_params(
     layers: int = 24,
     heads: int = 16,
     prefix: str = "diffusion.denoiser.",
+    qkv_groups: int | None = None,
 ) -> Dict[str, Any]:
     def dense(key):
         return {
@@ -116,7 +157,13 @@ def convert_denoiser_params(
 
     def qkv_dense(key):
         d = dense(key)
-        kernel, bias = _permute_qkv_global(d["kernel"], d["bias"], heads)
+        groups = qkv_groups
+        if groups is None:
+            from ..ops.attention import default_qkv_groups
+
+            head_dim = d["kernel"].shape[1] // (3 * heads)
+            groups = default_qkv_groups(heads, head_dim)
+        kernel, bias = _permute_qkv_grouped(d["kernel"], d["bias"], heads, groups)
         return {"kernel": kernel, "bias": bias}
 
     def ln(key):

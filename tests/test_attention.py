@@ -114,6 +114,92 @@ def test_attention_gradients_flow():
         assert np.abs(np.asarray(g)).max() > 0
 
 
+def test_grouped_qkv_split_matches_permutation():
+    """split_grouped_qkv on a grouped-layout tensor returns the same q/k/v a
+    global-layout split returns after the inverse column permutation."""
+    from npcd_tpu.ops.attention import split_grouped_qkv
+
+    b, s, h, d, groups = 2, 5, 4, 8, 2
+    w = h * d
+    rng = np.random.default_rng(0)
+    qkv_g = rng.normal(size=(b, s, 3 * w)).astype(np.float32)
+
+    q, k, v = split_grouped_qkv(jnp.asarray(qkv_g), h, groups)
+    # manual unpack: group g occupies columns [g*3*wg, (g+1)*3*wg), ordered
+    # [Q_g | K_g | V_g], heads contiguous within each third
+    hg = h // groups
+    wg = hg * d
+    x = qkv_g.reshape(b, s, groups, 3, hg, d)
+    np.testing.assert_array_equal(
+        np.asarray(q), x[:, :, :, 0].reshape(b, s, h, d))
+    np.testing.assert_array_equal(
+        np.asarray(k), x[:, :, :, 1].reshape(b, s, h, d))
+    np.testing.assert_array_equal(
+        np.asarray(v), x[:, :, :, 2].reshape(b, s, h, d))
+
+
+@pytest.mark.parametrize("groups", [2, 4])
+def test_fused_qkv_grouped_einsum_matches_global(groups):
+    """The einsum path on a grouped layout == global layout on the
+    correspondingly permuted channels (pure relabeling)."""
+    from npcd_tpu.ops.attention import fused_qkv_attention
+
+    b, s, h, d = 2, 7, 4, 8
+    w = h * d
+    rng = np.random.default_rng(3)
+    qkv_g = rng.normal(size=(b, s, 3 * w)).astype(np.float32)
+
+    hg = h // groups
+    # grouped -> global [Q|K|V]: [B,S,G,3,hg,d] -> [B,S,3,G,hg,d]
+    qkv_glob = (
+        qkv_g.reshape(b, s, groups, 3, hg, d)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, s, 3 * w)
+    )
+    out_g = fused_qkv_attention(
+        jnp.asarray(qkv_g), h, impl="einsum", groups=groups)
+    out_glob = fused_qkv_attention(jnp.asarray(qkv_glob), h, impl="einsum")
+    np.testing.assert_allclose(
+        np.asarray(out_g), np.asarray(out_glob), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_qkv_grouped_pallas_interpret_matches_einsum():
+    """The Pallas kernel's grouped index maps (fwd + bwd), groups=2, vs the
+    grouped einsum path — including valid_len masking (flagship geometry is
+    16 heads / G=2 / seq 520 valid 513)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from npcd_tpu.ops.attention import fused_qkv_attention
+
+    b, s, h, d, groups, valid_len = 2, 16, 4, 64, 2, 13
+    qkv = jax.random.normal(jax.random.PRNGKey(21), (b, s, 3 * h * d))
+    ct = jax.random.normal(jax.random.PRNGKey(22), (b, s, h * d))
+    ct = ct * (jnp.arange(s) < valid_len).astype(ct.dtype)[None, :, None]
+
+    def loss(impl):
+        return lambda qkv: (
+            fused_qkv_attention(
+                qkv, h, impl=impl, valid_len=valid_len, groups=groups
+            ) * ct
+        ).sum()
+
+    out_e = np.asarray(
+        fused_qkv_attention(qkv, h, impl="einsum", valid_len=valid_len,
+                            groups=groups))
+    grad_e = np.asarray(jax.grad(loss("einsum"))(qkv))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out_p = np.asarray(
+                fused_qkv_attention(qkv, h, impl="pallas", valid_len=valid_len,
+                                    groups=groups))
+            grad_p = np.asarray(jax.grad(loss("pallas"))(qkv))
+    except Exception as e:  # pragma: no cover - interpret mode support varies
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(
+        out_e[:, :valid_len], out_p[:, :valid_len], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(grad_e, grad_p, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("b,s,h,d,valid_len", [(2, 16, 2, 64, 13), (1, 8, 2, 64, 5)])
 def test_fused_qkv_pallas_interpret_valid_len(b, s, h, d, valid_len):
     """valid_len masking (the path production ALWAYS takes on TPU: seq padded

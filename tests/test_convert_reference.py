@@ -116,6 +116,57 @@ def test_converted_denoiser_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(jf), tf.numpy(), rtol=2e-4, atol=2e-5)
 
 
+def test_converted_denoiser_grouped_layout_matches_torch_oracle():
+    """qkv_groups=2 (the flagship default is G=2 at 16 heads / D=64): the
+    grouped column permutation in the converter must agree with the model's
+    grouped einsum split."""
+    sd = _torch_denoiser_state(seed=5)
+    params = convert_denoiser_params(
+        {k: v.numpy() for k, v in sd.items()}, layers=LAYERS, heads=H,
+        qkv_groups=2,
+    )
+    model = NPCDTransformer(coords_dim=CD, feats_dim=FD, width=W,
+                            layers=LAYERS, heads=H, attn_impl="einsum",
+                            qkv_groups=2)
+    coords = np.random.default_rng(6).normal(size=(2, CD, P)).astype(np.float32)
+    feats = np.random.default_rng(7).normal(size=(2, FD, P)).astype(np.float32)
+    t = np.array([12, 450])
+
+    with torch.no_grad():
+        tc, tf = _torch_forward(sd, torch.from_numpy(coords), torch.from_numpy(feats),
+                                torch.from_numpy(t))
+    jc, jf = model.apply({"params": params}, jnp.asarray(coords), jnp.asarray(feats),
+                         jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(jc), tc.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jf), tf.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_relayout_qkv_roundtrip_and_equivalence():
+    """relayout_qkv migrates between group counts: converting reference
+    weights at G=a then relayouting a->b equals converting at G=b directly;
+    a->b->a is the identity."""
+    from npcd_tpu.utils.convert_reference import (
+        _permute_qkv_grouped,
+        relayout_qkv,
+    )
+
+    rng = np.random.default_rng(8)
+    heads, d, d_in = 4, 8, 16
+    w3 = 3 * heads * d
+    kernel = rng.normal(size=(d_in, w3)).astype(np.float32)
+    bias = rng.normal(size=(w3,)).astype(np.float32)
+
+    for a, b in [(1, 2), (2, 4), (4, 1)]:
+        ka, ba = _permute_qkv_grouped(kernel, bias, heads, a)
+        kb, bb = _permute_qkv_grouped(kernel, bias, heads, b)
+        kab, bab = relayout_qkv(ka, ba, heads, a, b)
+        np.testing.assert_array_equal(kab, kb)
+        np.testing.assert_array_equal(bab, bb)
+        kaba, baba = relayout_qkv(kab, bab, heads, b, a)
+        np.testing.assert_array_equal(kaba, ka)
+        np.testing.assert_array_equal(baba, ba)
+
+
 def test_convert_pointnerf_shapes():
     n_obj, pts, fd = 3, 8, 4
     sd = {

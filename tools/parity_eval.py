@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Push-button PSNR/FID parity harness against the reference's published
+numbers (reference README.md:70-93: PSNR 30.2, FID 28.6 on SRN Cars).
+
+Converts the reference PyTorch checkpoint to npcd_tpu pytrees
+(utils/convert_reference.py), runs the stage-1 PSNR evaluation and the
+stage-2 generate->render->FID evaluation with the exact reference protocol
+(2347 train objects x 50 views at 128^2; 1000 generated objects x 251 test
+poses, StyleGAN TorchScript Inception), and prints both numbers next to
+the targets.
+
+Required assets (none ship with this repo; see ASSETS below):
+  --weights        npcd_srncars.pt            (reference release checkpoint)
+  --srn-root       SRN cars_train directory   (images/poses/intrinsics/
+                                               pointclouds, reference
+                                               data/download_*.sh layout)
+  --inception      inception-2015-12-05.pt    (StyleGAN TorchScript graph)
+  --inception-pkl  cars_test Inception stats  (SSDNeRF pipeline pickle with
+                                               {mean, cov, feats_np})
+
+Usage (full parity, both stages):
+  python tools/parity_eval.py \
+      --weights weights/npcd_srncars.pt --srn-root data/cars_train \
+      --inception data/inception-2015-12-05.pt \
+      --inception-pkl data/cars_test_inception_stylegan.pkl \
+      --out runs/parity
+
+ASSETS — where the reference gets them (zero-egress environments must
+stage these by hand):
+  * npcd_srncars.pt + SRN data: reference README.md "Downloads" section
+    (lmb-freiburg release links; data/download_pointclouds.sh).
+  * inception-2015-12-05.pt: the StyleGAN FID network
+    (nvlabs TorchScript export; mmgen downloads it on first use).
+  * inception pkl: produced by the SSDNeRF eval pipeline over cars_test
+    (reference npcd/utils/fidkid.py:47-55 documents the format).
+
+Smoke-testable offline: every stage takes injectable pieces (dataset,
+feature_extractor, pose subset), exercised end-to-end by
+tests/test_parity_harness.py on synthetic data with a synthetic
+reference-layout torch checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+PSNR_TARGET = 30.2  # reference README.md:72 (published weights)
+FID_TARGET = 28.6   # reference README.md:93
+
+
+def convert_weights(weights_path: str, config) -> dict:
+    """Reference npcd_srncars.pt -> {'pointnerf': params, 'diffusion':
+    DiffusionState} in npcd_tpu layout (grouped qkv columns etc.)."""
+    from npcd_tpu.utils.convert_reference import convert_checkpoint
+
+    m = config["model"]
+    return convert_checkpoint(
+        weights_path,
+        n_obj=m["n_obj"],
+        num_points=m.get("num_points", 512),
+        feat_dim=m.get("feats_dim", 32),
+        layers=m.get("layers", 24),
+    )
+
+
+def run_psnr(
+    config,
+    pointnerf_params,
+    out_dir,
+    dataset=None,
+    samples=None,
+    eval_batch_size=1,
+    qualitatives=0,
+):
+    """Stage-1 parity: PSNR of the converted autodecoder on its training
+    scenes (reference eval_pointnerf.py protocol)."""
+    import jax
+
+    from npcd_tpu.eval import PointNeRFEvaluation
+    from npcd_tpu.utils.builders import build_dataset, build_pointnerf
+
+    if dataset is None:
+        dataset = build_dataset(config)
+    model = build_pointnerf(config)
+    init = model.init_params(jax.random.PRNGKey(0))
+    # structural check: the converted tree must drop in for the init tree
+    # (same treedef AND same leaf shapes)
+    if jax.tree_util.tree_structure(init) != jax.tree_util.tree_structure(
+        pointnerf_params
+    ):
+        raise ValueError(
+            "converted pointnerf params do not match the model tree "
+            "(config/model mismatch?)"
+        )
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(init)[0],
+        jax.tree_util.tree_leaves(pointnerf_params),
+    ):
+        if tuple(a.shape) != tuple(np.shape(b)):
+            raise ValueError(
+                f"converted param shape mismatch at "
+                f"{jax.tree_util.keystr(path)}: model {tuple(a.shape)} vs "
+                f"checkpoint {tuple(np.shape(b))}"
+            )
+    evaluation = PointNeRFEvaluation(
+        out_dir=osp.join(out_dir, "pointnerf") if out_dir else None,
+        eval_batch_size=eval_batch_size,
+    )
+    results = evaluation(
+        dataset,
+        model,
+        pointnerf_params,
+        samples=samples,
+        qualitatives=qualitatives,
+        resolution=model.opts.default_resolution,
+    )
+    return float(results["psnr"].mean())
+
+
+def run_fid(
+    config,
+    converted,
+    out_dir,
+    inception_path=None,
+    inception_pkl=None,
+    feature_extractor=None,
+    num_samples=None,
+    max_poses=None,
+    generate_batch_size=16,
+    rng_seed=42,
+):
+    """Stage-2 parity: FID/KID of generated objects rendered from the fixed
+    test poses (reference eval_diffusion.py protocol)."""
+    import jax
+
+    from npcd_tpu.eval import DiffusionEvaluation
+    from npcd_tpu.models.npcd import NPCD
+
+    model = NPCD.from_config(config)
+    eval_cfg = dict(config.get("diffusion_evaluation", {}))
+    if num_samples is not None:
+        eval_cfg["num_samples"] = num_samples
+    if inception_pkl is not None:
+        eval_cfg["inception_pkl_path"] = inception_pkl
+    if inception_path is not None:
+        eval_cfg["inception_path"] = inception_path
+    evaluation = DiffusionEvaluation(
+        out_dir=osp.join(out_dir, "diffusion") if out_dir else None,
+        feature_extractor=feature_extractor,
+        generate_batch_size=generate_batch_size,
+        max_poses=max_poses,
+        **eval_cfg,
+    )
+    results = evaluation(
+        model,
+        converted["pointnerf"],
+        converted["diffusion"],
+        rng=jax.random.PRNGKey(rng_seed),
+        num_qualitatives=0,
+    )
+    return float(results["fid"]), float(results["kid"])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--weights", required=True, help="reference npcd_srncars.pt")
+    p.add_argument("--config", default="configs/npcd_srncars.yaml")
+    p.add_argument("--srn-root", default=None,
+                   help="SRN cars_train dir; overrides paths.toml [srn] root")
+    p.add_argument("--inception", default=None,
+                   help="inception-2015-12-05.pt TorchScript graph")
+    p.add_argument("--inception-pkl", default=None,
+                   help="cars_test Inception statistics pickle")
+    p.add_argument("--out", default="runs/parity")
+    p.add_argument("--stage", choices=["both", "psnr", "fid"], default="both")
+    p.add_argument("--psnr-samples", type=int, default=None,
+                   help="evaluate a subset of objects (default: all 2347)")
+    p.add_argument("--num-samples", type=int, default=None,
+                   help="generated objects for FID (default: config, 1000)")
+    p.add_argument("--max-poses", type=int, default=None,
+                   help="pose subset for FID smoke runs (default: all 251)")
+    p.add_argument("--generate-batch-size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    from npcd_tpu.utils import load_config, logging
+    from npcd_tpu.utils.util import set_seed
+
+    set_seed(args.seed)
+    if args.srn_root:
+        # highest-priority override for the dataset root (see data/dataset.py)
+        os.environ["NPCD_TPU_SRN_ROOT"] = args.srn_root
+    os.makedirs(args.out, exist_ok=True)
+    logging.add_log_file(osp.join(args.out, "log.txt"))
+    with open(osp.join(args.out, "cmd.txt"), "a") as f:
+        f.write(" ".join(sys.argv) + "\n")
+
+    config = load_config(args.config)
+    logging.info(f"Converting reference checkpoint {args.weights} ...")
+    converted = convert_weights(args.weights, config)
+
+    summary = {"psnr_target": PSNR_TARGET, "fid_target": FID_TARGET}
+    if args.stage in ("both", "psnr"):
+        psnr = run_psnr(config, converted["pointnerf"], args.out,
+                        samples=args.psnr_samples)
+        summary["psnr"] = round(psnr, 3)
+        logging.info(
+            f"PSNR {psnr:.2f} vs target {PSNR_TARGET} "
+            f"({'PASS' if psnr >= PSNR_TARGET else 'below target'})"
+        )
+    if args.stage in ("both", "fid"):
+        if "diffusion" not in converted:
+            raise ValueError("checkpoint has no diffusion weights")
+        fid, kid = run_fid(
+            config, converted, args.out,
+            inception_path=args.inception,
+            inception_pkl=args.inception_pkl,
+            num_samples=args.num_samples,
+            max_poses=args.max_poses,
+            generate_batch_size=args.generate_batch_size,
+            rng_seed=args.seed,
+        )
+        summary["fid"] = round(fid, 3)
+        summary["kid_x1000"] = round(kid, 4)
+        logging.info(
+            f"FID {fid:.2f} vs target {FID_TARGET} "
+            f"({'PASS' if fid <= FID_TARGET else 'above target'})"
+        )
+
+    with open(osp.join(args.out, "parity.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
