@@ -7,10 +7,13 @@ quantize to 255 levels, and feed the images through the Inception extractor
 into FID/KID against precomputed real statistics.
 
 TPU-first differences: the sampler is one jitted lax.scan per generate
-batch, and rendering batches ALL poses of an object through the chunked
-render core at once instead of the reference's render_batch_size=1 loop
-(diffusion_evaluation.py:24,163) — the per-pose Python loop was the
-reference's biggest eval inefficiency.
+batch, and rendering batches `render_object_batch` generated objects x
+`render_pose_batch` poses (G*Vb instances) through the chunked render core
+per jit call instead of the reference's render_batch_size=1 one-pose-one-
+object loop (diffusion_evaluation.py:24,163) — the per-pose Python loop was
+the reference's biggest eval inefficiency. Inception is fed all
+G*num_poses images of a render group at once (the extractor chunks
+internally).
 """
 from __future__ import annotations
 
@@ -40,6 +43,7 @@ class DiffusionEvaluation:
         feature_extractor: Optional[Callable] = None,
         generate_batch_size: int = 16,
         render_pose_batch: int = 32,
+        render_object_batch: int = 4,
         resolution: int = 128,
         poses: Optional[np.ndarray] = None,
         intrinsics: Optional[np.ndarray] = None,
@@ -52,6 +56,7 @@ class DiffusionEvaluation:
         self.num_samples = num_samples
         self.generate_batch_size = generate_batch_size
         self.render_pose_batch = render_pose_batch
+        self.render_object_batch = render_object_batch
         self.resolution = resolution
         self.verbose = verbose
         self.inception_pkl_path = inception_pkl_path
@@ -144,27 +149,52 @@ class DiffusionEvaluation:
                 diffusion_state, rng_gen, num=n_gen, batch_size=n_gen, progress=False
             )  # [n, 3, P], [n, F, P]
 
-            for j in range(n_gen):
-                coords = jnp.asarray(coords_b[j].T)[None]  # [1, P, 3]
-                feats = jnp.asarray(feats_b[j].T)[None]  # [1, P, F]
+            # render multiple generated objects x a pose batch per jit call
+            # (the chunked render core takes an instance dim, so G*Vb
+            # instances are a near-free multiple vs the reference's
+            # render_batch_size=1 loop, diffusion_evaluation.py:163-175),
+            # and feed Inception with all G*num_poses images at once (the
+            # extractor chunks internally)
+            for j0 in range(0, n_gen, self.render_object_batch):
+                g = min(self.render_object_batch, n_gen - j0)
+                coords = jnp.asarray(
+                    coords_b[j0 : j0 + g].transpose(0, 2, 1)
+                )  # [g, P, 3]
+                feats = jnp.asarray(feats_b[j0 : j0 + g].transpose(0, 2, 1))
                 images = []
                 for pose_idx in pose_batches:
-                    extr = jnp.asarray(self.poses[pose_idx])[None]
-                    intr = jnp.asarray(self.intrinsics[pose_idx])[None]
+                    extr = jnp.asarray(
+                        np.broadcast_to(
+                            self.poses[pose_idx][None],
+                            (g, len(pose_idx), 4, 4),
+                        )
+                    )
+                    intr = jnp.asarray(
+                        np.broadcast_to(
+                            self.intrinsics[pose_idx][None],
+                            (g, len(pose_idx), 3, 3),
+                        )
+                    )
                     channels = render_poses(
                         pointnerf_params, coords, feats, extr, intr
-                    )  # [1, V, H*W, 3]
-                    images.append(np.asarray(channels[0]))
-                images = np.concatenate(images, 0).reshape(
-                    num_poses, self.resolution, self.resolution, 3
+                    )  # [g, Vb, H*W, 3]
+                    images.append(np.asarray(channels))
+                images = np.concatenate(images, 1).reshape(
+                    g, num_poses, self.resolution, self.resolution, 3
                 )
                 images = np.clip(images, 0.0, 1.0)
                 images = np.round(images * 255.0) / 255.0  # 255-level quantization
-                fidkid.feed(images, "fakes")
+                fidkid.feed(
+                    images.reshape(g * num_poses, self.resolution,
+                                   self.resolution, 3),
+                    "fakes",
+                )
 
-                if self.out_dir is not None and done % qualitative_stride == 0:
-                    self._save_qualitative(images, done)
-                done += 1
+                if self.out_dir is not None:
+                    for jj in range(g):
+                        if (done + jj) % qualitative_stride == 0:
+                            self._save_qualitative(images[jj], done + jj)
+                done += g
             if self.verbose:
                 logging.info(f"diffusion eval: {done}/{self.num_samples} objects")
 
