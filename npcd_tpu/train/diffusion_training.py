@@ -106,6 +106,7 @@ class DiffusionTraining:
         init_state: Optional[DiffusionState] = None,
         seed: int = 42,
         mesh=None,
+        tp: int = 1,
         print_interval: int = 100,
         log_scalars_interval: int = 100,
         save_checkpoint_interval_min: float = 20.0,
@@ -131,6 +132,15 @@ class DiffusionTraining:
         self.weights_only_interval = weights_only_interval
         self.verbose = verbose
         self.mesh = mesh
+        self.tp = tp
+        if tp > 1 and mesh is None:
+            # default 2-D mesh: tp-way Megatron TP inside each replica group,
+            # DP across them (parallel/tp_step.py)
+            n = jax.device_count()
+            if n % tp:
+                raise ValueError(f"tp={tp} does not divide device count {n}")
+            self.mesh = make_mesh(axis_names=("data", "model"),
+                                  shape=(n // tp, tp))
         self.rng = jax.random.PRNGKey(seed)
 
         self.ema_cfgs = tuple(
@@ -160,7 +170,14 @@ class DiffusionTraining:
         self.saver = CheckpointSaver(self.checkpoints_dir, "diffusion_training")
         self._restore()
 
-        self.train_step = make_diffusion_train_step(model, self.tx, self.ema_cfgs)
+        if self.tp > 1:
+            from ..parallel.tp_step import make_tp_diffusion_train_step
+
+            self.train_step = make_tp_diffusion_train_step(
+                model, self.tx, self.ema_cfgs, self.mesh
+            )
+        else:
+            self.train_step = make_diffusion_train_step(model, self.tx, self.ema_cfgs)
 
         if verbose:
             logging.info(
@@ -191,7 +208,11 @@ class DiffusionTraining:
             logging.info("Training already finished.")
             return self.state
 
-        if self.mesh is not None:
+        if self.tp > 1:
+            from ..parallel.tp_step import shard_train_state
+
+            self.state = shard_train_state(self.state, self.tx, self.mesh)
+        elif self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
         writer.set_max_iterations(self.max_iterations)

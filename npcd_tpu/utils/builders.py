@@ -101,6 +101,10 @@ def build_diffusion_model(config: Dict[str, Any], dtype=None, remat: bool = Fals
         layers=model_cfg["layers"],
         heads=model_cfg["heads"],
         dtype=dtype if dtype is not None else jnp.float32,
+        # optional (additive) config key: grouped-qkv layout group count —
+        # set to the desired TP degree for tp>2 (default auto, G=2 at the
+        # flagship geometry)
+        qkv_groups=model_cfg.get("qkv_groups"),
         remat=remat,
     )
 

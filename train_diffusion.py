@@ -58,7 +58,7 @@ def train(args):
     dataset = PointNeRFDataset(pointnerf=pointnerf, params=pn_params)
 
     model = build_diffusion_model(config, dtype=dtype, remat=(dtype != jnp.float32))
-    mesh = make_mesh() if args.mesh else None
+    mesh = make_mesh() if args.mesh and args.tp <= 1 else None
 
     training = DiffusionTraining(
         out_dir=args.output,
@@ -66,6 +66,7 @@ def train(args):
         dataset=dataset,
         seed=args.seed,
         mesh=mesh,
+        tp=args.tp,
         **config["diffusion_training"],
     )
     training()
@@ -89,6 +90,10 @@ if __name__ == "__main__":
                         help="Log to Weights & Biases (requires the wandb package).")
     parser.add_argument("--exp_id", type=str, help="Experiment ID.")
     parser.add_argument("--comment", type=str, help="Comment for the experiment.")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Megatron tensor-parallel degree over a (data, model) "
+                             "mesh (shard_map step; tp must divide the model's "
+                             "qkv_groups and the local device count).")
     parser.add_argument("--mesh", action="store_true",
                         help="Data-parallel training over all local devices.")
     parser.add_argument("--platform", type=str, default=None,
