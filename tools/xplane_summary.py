@@ -85,7 +85,10 @@ def summarize_plane(plane: bytes):
                 line_name = v2.decode(errors="replace")
             elif f2 == 4:
                 events.append(v2)
-        if "XLA Ops" not in line_name:
+        # exact match: the device plane also carries an "Async XLA Ops" line
+        # whose copy-start durations span their wait time — summing it
+        # inflates totals ~10x (events overlap the synchronous timeline)
+        if line_name != "XLA Ops":
             continue
         for ev in events:
             mid = dur = 0
