@@ -90,8 +90,11 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
         iters = 5
 
     model = DiffusionModel(coords_dim=3, **model_kw)
-    tx = optax.adamw(7e-5, weight_decay=0.01)
     ema_cfgs = (EmaConfig.from_tuple((1, 0.9999, 0.9999, False)),)
+    from npcd_tpu.train.fused_update import FusedAdamWEma
+
+    fused = FusedAdamWEma(7e-5, 0.01, ema_cfgs=ema_cfgs)
+    tx = fused.make_tx()
     dstate = model.init(jax.random.PRNGKey(0))
     state = DiffusionTrainState(
         params=dstate.params,
@@ -106,7 +109,7 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
         "coords": jax.random.normal(jax.random.PRNGKey(1), (batch, 3, p)),
         "feats": jax.random.normal(jax.random.PRNGKey(2), (batch, model.feats_dim, p)),
     }
-    step = make_diffusion_train_step(model, tx, ema_cfgs, donate=True)
+    step = make_diffusion_train_step(model, fused, ema_cfgs, donate=True)
 
     state, metrics = step(state, batch_data, jax.random.PRNGKey(3))  # compile
     float(metrics["loss"])  # scalar readback: the only reliable sync on
@@ -211,8 +214,11 @@ def bench_dp_scaling(preset: str):
 
     mesh = make_mesh()
     model = DiffusionModel(coords_dim=3, **model_kw)
-    tx = optax.adamw(7e-5, weight_decay=0.01)
+    from npcd_tpu.train.fused_update import FusedAdamWEma
+
     ema_cfgs = (EmaConfig.from_tuple((1, 0.9999, 0.9999, False)),)
+    fused = FusedAdamWEma(7e-5, 0.01, ema_cfgs=ema_cfgs)
+    tx = fused.make_tx()
     dstate = model.init(jax.random.PRNGKey(0))
     repl = NamedSharding(mesh, P())
     put = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), t)
@@ -234,7 +240,7 @@ def bench_dp_scaling(preset: str):
             jax.random.normal(jax.random.PRNGKey(2), (batch, model.feats_dim, p)),
             data_sh),
     }
-    step = make_diffusion_train_step(model, tx, ema_cfgs, donate=True)
+    step = make_diffusion_train_step(model, fused, ema_cfgs, donate=True)
     with mesh:
         state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
         float(metrics["loss"])

@@ -92,7 +92,7 @@ def shard_train_state(
 
 def make_tp_diffusion_train_step(
     model: DiffusionModel,
-    tx: optax.GradientTransformation,
+    tx,
     ema_cfgs: Sequence[EmaConfig],
     mesh: Mesh,
     data_axis: str = "data",
@@ -102,7 +102,15 @@ def make_tp_diffusion_train_step(
     """Returns step(state, batch, rng) running DP over `data_axis` and
     Megatron TP over `model_axis`. `state` must be sharded with
     shard_train_state; batch["coords"/"feats"] sharded on their leading dim
-    over `data_axis` (batch_size % mesh.shape[data_axis] == 0)."""
+    over `data_axis` (batch_size % mesh.shape[data_axis] == 0).
+
+    `tx` is either an optax GradientTransformation (reference update path)
+    or a train.fused_update.FusedAdamWEma (single-fusion-per-leaf update)."""
+    from ..train.fused_update import FusedAdamWEma
+
+    fused = tx if isinstance(tx, FusedAdamWEma) else None
+    if fused is not None:
+        tx = fused.make_tx()
     n_data = mesh.shape[data_axis]
     tp = mesh.shape[model_axis]
     local_denoiser = model.denoiser.clone(tp=tp, tp_axis=model_axis)
@@ -134,13 +142,6 @@ def make_tp_diffusion_train_step(
             lambda v: jax.lax.psum(v, data_axis) / n_data, sub_losses
         )
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = tuple(
-            ema_update(cfg, state.step, ema, params)
-            for cfg, ema in zip(ema_cfgs, state.ema_params)
-        )
-
         # global grad norm: model-sharded leaves contribute their local
         # sum-of-squares psum'd over the model axis; replicated leaves once
         param_specs = denoiser_param_specs(state.params, model_axis)
@@ -161,6 +162,19 @@ def make_tp_diffusion_train_step(
             start=jnp.zeros(()),
         )
         grad_norm = jnp.sqrt(jax.lax.psum(sq_sharded, model_axis) + sq_repl)
+
+        if fused is not None:
+            params, opt_state, ema_params, _ = fused.update(
+                grads, state.opt_state, state.params, state.ema_params,
+                state.step, grad_norm=grad_norm,
+            )
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = tuple(
+                ema_update(cfg, state.step, ema, params)
+                for cfg, ema in zip(ema_cfgs, state.ema_params)
+            )
 
         metrics = {"loss": loss, **sub_losses, "grad_norm": grad_norm}
         new_state = state.replace(

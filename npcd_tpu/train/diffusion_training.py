@@ -33,6 +33,7 @@ from ..utils import logging, writer
 from ..utils.checkpoint import CheckpointSaver, save_weights_only, timed_save_due
 from ..utils.ema import EmaConfig, ema_update
 from ..utils.util import count_parameters
+from .fused_update import FusedAdamWEma
 
 
 @flax.struct.dataclass
@@ -54,10 +55,15 @@ class DiffusionTrainState:
 
 def make_diffusion_train_step(
     model: DiffusionModel,
-    tx: optax.GradientTransformation,
+    tx,
     ema_cfgs: Sequence[EmaConfig],
     donate: bool = True,
 ):
+    """`tx` is either an optax GradientTransformation (reference update
+    path, used by the equivalence tests) or a FusedAdamWEma (production
+    path: one fusion per leaf for the whole AdamW+EMA update)."""
+    fused = tx if isinstance(tx, FusedAdamWEma) else None
+
     def step(state: DiffusionTrainState, batch, rng):
         def loss_fn(params):
             dstate = state.diffusion_state(params)
@@ -69,14 +75,21 @@ def make_diffusion_train_step(
         (loss, sub_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = tuple(
-            ema_update(cfg, state.step, ema, params)
-            for cfg, ema in zip(ema_cfgs, state.ema_params)
-        )
         metrics = {"loss": loss, **sub_losses}
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if fused is not None:
+            params, opt_state, ema_params, grad_norm = fused.update(
+                grads, state.opt_state, state.params, state.ema_params,
+                state.step,
+            )
+            metrics["grad_norm"] = grad_norm
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = tuple(
+                ema_update(cfg, state.step, ema, params)
+                for cfg, ema in zip(ema_cfgs, state.ema_params)
+            )
+            metrics["grad_norm"] = optax.global_norm(grads)
         return (
             state.replace(
                 params=params,
@@ -155,7 +168,15 @@ class DiffusionTraining:
             dstate, dataset.get_all_coords(), dataset.get_all_feats()
         )
 
-        self.tx = self._make_optimizer(base_learning_rate, weight_decay, grad_clip_max_norm)
+        self.fused = FusedAdamWEma(
+            learning_rate=base_learning_rate,
+            weight_decay=weight_decay,
+            clip_max_norm=grad_clip_max_norm,
+            ema_cfgs=self.ema_cfgs,
+        )
+        # the equivalent optax chain: state-structure source of truth for
+        # init / checkpoints / TP sharding specs
+        self.tx = self.fused.make_tx()
         self.state = DiffusionTrainState(
             params=dstate.params,
             opt_state=self.tx.init(dstate.params),
@@ -174,10 +195,10 @@ class DiffusionTraining:
             from ..parallel.tp_step import make_tp_diffusion_train_step
 
             self.train_step = make_tp_diffusion_train_step(
-                model, self.tx, self.ema_cfgs, self.mesh
+                model, self.fused, self.ema_cfgs, self.mesh
             )
         else:
-            self.train_step = make_diffusion_train_step(model, self.tx, self.ema_cfgs)
+            self.train_step = make_diffusion_train_step(model, self.fused, self.ema_cfgs)
 
         if verbose:
             logging.info(
