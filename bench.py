@@ -57,11 +57,42 @@ def _xplane_op_breakdown(trace_dir: str, steps: int, top_n: int = 12):
     if best is None:
         return None
     total, op_time = best
+
+    def classify(op: str) -> str:
+        if "opt_state" in op or "ema_params" in op:
+            return "optimizer/ema"
+        head = op.split(" = ")[0]
+        if "custom-call" in head:
+            return "custom-call (pallas attn/ln)"
+        if "fusion" in head:
+            if "kOutput" in op or "dot" in op:
+                return "matmul fusion"
+            return "elementwise fusion"
+        if "copy" in head:
+            return "copy"
+        if "convert" in head:
+            return "convert"
+        if "all-reduce" in op:
+            return "collective"
+        return "other"
+
+    cats: dict = {}
+    for op, ms in op_time.items():
+        k = classify(op)
+        cats[k] = cats.get(k, 0.0) + ms
+    categories = [
+        [k, round(v / steps, 2), round(100 * v / total, 1)]
+        for k, v in sorted(cats.items(), key=lambda x: -x[1])
+    ]
     ops = [
-        [op, round(ms / steps, 3), round(100 * ms / total, 1)]
+        [op[:160], round(ms / steps, 3), round(100 * ms / total, 1)]
         for op, ms in sorted(op_time.items(), key=lambda x: -x[1])[:top_n]
     ]
-    return {"total_ms_per_step": round(total / steps, 2), "ops": ops}
+    return {
+        "total_ms_per_step": round(total / steps, 2),
+        "categories": categories,
+        "ops": ops,
+    }
 
 
 def bench_denoiser_steps(preset: str, with_sampler: bool = False):

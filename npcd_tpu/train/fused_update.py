@@ -95,6 +95,7 @@ class FusedAdamWEma:
         step: jnp.ndarray,
         clip_scale: Optional[jnp.ndarray] = None,
         grad_norm: Optional[jnp.ndarray] = None,
+        pallas: Optional[bool] = None,
     ):
         """Returns (params, opt_state, ema_params, grad_norm).
 
@@ -102,9 +103,18 @@ class FusedAdamWEma:
         Adam's bias-correction count lives in opt_state.  Pass
         `clip_scale`/`grad_norm` to override the internally computed
         global norm (the TP step computes a mesh-correct norm itself).
+        `pallas` selects the streaming one-pass kernel for the large 2-D
+        leaves (ops/pallas/fused_adamw.py); default: on for TPU backends.
         """
+        import jax.tree_util as jtu
+
         adam = _get_adam_state(opt_state)
-        if grad_norm is None:
+        if pallas is None:
+            pallas = jax.default_backend() == "tpu"
+        need_norm_prepass = grad_norm is None and (
+            bool(self.clip_max_norm) or not pallas
+        )
+        if need_norm_prepass:
             grad_norm = optax.global_norm(grads)
         if self.clip_max_norm and clip_scale is None:
             # optax.clip_by_global_norm: g * (max_norm / norm) when above
@@ -120,7 +130,29 @@ class FusedAdamWEma:
         decays = tuple(ema_decay(cfg, step) for cfg in self.ema_cfgs)
         n_ema = len(decays)
 
+        if pallas:
+            from ..ops.pallas.fused_adamw import adamw_ema_leaf, leaf_eligible
+
+            scalars = jnp.stack(
+                [bc1, bc2,
+                 (clip_scale if clip_scale is not None
+                  else jnp.ones((), jnp.float32))]
+                + [d.astype(jnp.float32) for d in decays]
+            )
+            sumsqs = []
+
         def leaf(g, p, mu, nu, *emas):
+            if pallas and leaf_eligible(p):
+                p2, mu2, nu2, emas2, sumsq = adamw_ema_leaf(
+                    scalars, g, p, mu, nu, emas,
+                    b1=self.b1, b2=self.b2, eps=self.eps,
+                    lr=self.learning_rate, wd=self.weight_decay,
+                    use_clip=clip_scale is not None,
+                )
+                sumsqs.append(sumsq)
+                return (p2, mu2, nu2) + emas2
+            if pallas:
+                sumsqs.append(jnp.sum(jnp.square(g)))
             if clip_scale is not None:
                 g = g * clip_scale
             # optax.update_moment / update_moment_per_elem_norm op order
@@ -135,13 +167,15 @@ class FusedAdamWEma:
             )
             return (p2, mu2, nu2) + emas2
 
-        out = jax.tree_util.tree_map(leaf, grads, params, adam.mu, adam.nu,
-                                     *ema_params)
-        outer = jax.tree_util.tree_structure(params)
-        inner = jax.tree_util.tree_structure((0,) * (3 + n_ema))
-        parts = jax.tree_util.tree_transpose(outer, inner, out)
+        out = jtu.tree_map(leaf, grads, params, adam.mu, adam.nu, *ema_params)
+        outer = jtu.tree_structure(params)
+        inner = jtu.tree_structure((0,) * (3 + n_ema))
+        parts = jtu.tree_transpose(outer, inner, out)
         new_params, new_mu, new_nu = parts[0], parts[1], parts[2]
         new_emas = tuple(parts[3:])
+
+        if grad_norm is None:  # pallas path, no clip: free pre-clip norm
+            grad_norm = jnp.sqrt(sum(sumsqs))
 
         new_opt_state = _replace_adam_state(
             opt_state,
