@@ -62,7 +62,7 @@ def _xplane_op_breakdown(trace_dir: str, steps: int, top_n: int = 12):
         if "opt_state" in op or "ema_params" in op:
             return "optimizer/ema"
         head = op.split(" = ")[0]
-        if "custom-call" in head:
+        if "custom-call" in head or " custom-call(" in op:
             return "custom-call (pallas attn/ln)"
         if "fusion" in head:
             if "kOutput" in op or "dot" in op:
@@ -154,10 +154,16 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
     breakdown = None
     if preset == "full" and jax.default_backend() == "tpu":
         # per-op device-time breakdown of the train step (3 traced steps)
+        import contextlib
+        import os
         import tempfile
 
         try:
-            with tempfile.TemporaryDirectory() as td:
+            # NPCD_BENCH_TRACE_DIR keeps the raw xplane trace around for
+            # offline per-op analysis (tools/xplane_summary.py)
+            keep = os.environ.get("NPCD_BENCH_TRACE_DIR")
+            ctx = contextlib.nullcontext(keep) if keep else tempfile.TemporaryDirectory()
+            with ctx as td:
                 with jax.profiler.trace(td):
                     for i in range(3):
                         state, metrics = step(

@@ -49,6 +49,7 @@ class DiffusionModel:
         dtype: jnp.dtype = jnp.float32,
         attn_impl: str = "auto",
         qkv_groups: Optional[int] = None,
+        gelu: str = "auto",
         remat: bool = False,
         remat_policy: str = "full",
     ):
@@ -64,6 +65,7 @@ class DiffusionModel:
             dtype=dtype,
             attn_impl=attn_impl,
             qkv_groups=qkv_groups,
+            gelu=gelu,
             remat=remat,
             remat_policy=remat_policy,
         )

@@ -107,16 +107,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
         lse_ref[0, 0, :, h : h + 1] = m + jnp.log(l)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref,
                 *, d: int, hpb: int, sm_scale: float, valid_len):
     # all matmul operands in storage dtype (f32 accumulate) — see _logits.
     # The fwd lse residual makes the softmax recompute reduction-free: p is
-    # rebuilt as exp(logits - lse) (no row max/sum/divide). The residual o
-    # is the primal output VALUE (same jaxpr variable), which XLA already
-    # keeps live for the out-projection's dW = o^T dy — so it costs no
-    # extra HBM, and delta = rowsum(p*dp) collapses to the flash-standard
-    # delta = rowsum(g*o) over [S, D] instead of an [S, S] VPU pass.
+    # rebuilt as exp(logits - lse) (no row max/sum/divide). The output o is
+    # deliberately NOT saved as a residual: at batch 32 the extra 34 MB/layer
+    # pushed total HBM past capacity and XLA started rematerializing forward
+    # MLP matmuls (~1.4 ms each) — costlier than the [S, S] rowsum for
+    # delta = rowsum(p * dp) this recomputes.
     xq = q_ref[...]
     xk = k_ref[...]
     xv = v_ref[...]
@@ -137,10 +137,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
             g, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        delta = jnp.sum(
-            g.astype(jnp.float32) * o_ref[:, sl].astype(jnp.float32),
-            axis=-1, keepdims=True,
-        )
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
         ds = (p * (dp - delta) * sm_scale).astype(io)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(
@@ -196,7 +193,7 @@ def _fwd_impl(qkv, heads, b, s, valid_len, groups=1):
     return out, lse
 
 
-def _bwd_impl(qkv, lse, out, g, heads, b, s, valid_len, groups=1):
+def _bwd_impl(qkv, lse, g, heads, b, s, valid_len, groups=1):
     w = qkv.shape[-1] // 3
     d = w // heads
     hpb = _heads_per_block(heads, d, groups)
@@ -212,9 +209,9 @@ def _bwd_impl(qkv, lse, out, g, heads, b, s, valid_len, groups=1):
                           sm_scale=1.0 / (d ** 0.5), valid_len=valid_len),
         out_shape=(shape, shape, shape),
         grid=(b, heads // hpb),
-        in_specs=[at(0), at(1), at(2), grad_spec, grad_spec, lse_spec],
+        in_specs=[at(0), at(1), at(2), grad_spec, lse_spec],
         out_specs=(grad_spec, grad_spec, grad_spec),
-    )(qkv, qkv, qkv, g, out, lse)
+    )(qkv, qkv, qkv, g, lse)
     if groups == 1:
         return jnp.concatenate([dq, dk, dv], axis=-1)
     # dq/dk/dv come out head-major; interleave them back into the grouped
@@ -248,15 +245,12 @@ def fused_qkv_attention_2d(
 
 def _vjp_fwd(qkv, heads, b, s, valid_len, groups):
     out, lse = _fwd_impl(qkv, heads, b, s, valid_len, groups)
-    # `out` in the residuals is the same value as the primal output — XLA
-    # already keeps it live for the out-projection's weight gradient, so
-    # this adds no activation memory (unlike a separate residual tensor)
-    return out, (qkv, lse, out)
+    return out, (qkv, lse)
 
 
 def _vjp_bwd(heads, b, s, valid_len, groups, res, g):
-    qkv, lse, out = res
-    return (_bwd_impl(qkv, lse, out, g, heads, b, s, valid_len, groups),)
+    qkv, lse = res
+    return (_bwd_impl(qkv, lse, g, heads, b, s, valid_len, groups),)
 
 
 fused_qkv_attention_2d.defvjp(_vjp_fwd, _vjp_bwd)

@@ -99,3 +99,45 @@ def test_param_count_formula():
     lns = 3 * 2 * w  # ln_pre, ln_post + per-block lns counted in block
     expected = layers * block + time_embed + io + 2 * 2 * w
     assert n == expected, (n, expected)
+
+
+def _perturbed_params(m, coords, feats):
+    params = m.init(jax.random.PRNGKey(0), coords, feats, jnp.array([0]))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.02 * jax.random.normal(k, p.shape) for p, k in zip(leaves, keys)],
+    )
+
+
+def test_gelu_flavor_wiring():
+    """gelu="tanh" must actually reach the block MLPs (differ from erf) while
+    staying a close approximation; "auto" resolves to erf for f32 compute."""
+    kw = dict(coords_dim=3, feats_dim=4, width=32, layers=2, heads=4,
+              attn_impl="einsum")
+    coords = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8))
+    feats = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8))
+    t = jnp.array([7])
+    m_erf = NPCDTransformer(**kw, gelu="erf")
+    params = _perturbed_params(m_erf, coords, feats)
+    o_erf = m_erf.apply({"params": params}, coords, feats, t)
+    o_tanh = NPCDTransformer(**kw, gelu="tanh").apply(
+        {"params": params}, coords, feats, t)
+    d = max(np.abs(np.asarray(a) - np.asarray(b)).max()
+            for a, b in zip(o_erf, o_tanh))
+    assert d > 0.0, "tanh flag did not reach the MLP"
+    assert d < 1e-3, f"tanh approximation too far from erf: {d}"
+    # auto == erf for f32 compute (bit-identical)
+    o_auto = NPCDTransformer(**kw, gelu="auto").apply(
+        {"params": params}, coords, feats, t)
+    for a, b in zip(o_erf, o_auto):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # auto == tanh for bf16 compute (bit-identical)
+    kw16 = dict(kw, dtype=jnp.bfloat16)
+    o16_auto = NPCDTransformer(**kw16, gelu="auto").apply(
+        {"params": params}, coords, feats, t)
+    o16_tanh = NPCDTransformer(**kw16, gelu="tanh").apply(
+        {"params": params}, coords, feats, t)
+    for a, b in zip(o16_auto, o16_tanh):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
