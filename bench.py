@@ -483,6 +483,21 @@ def main():
                 else {}
             ),
             **({"op_breakdown": op_breakdown} if op_breakdown else {}),
+            **(
+                {
+                    # single-chip wall-clock estimate for the full FID
+                    # protocol (reference README.md:89-93: 1000 objects x
+                    # 251 poses x 128^2 rays rendered + 1000 DDPM steps x
+                    # 1000/32 batches), from the rates measured above.
+                    # The reference runs this in ~2 GPU-days at
+                    # render_batch_size=1 (diffusion_evaluation.py:163-175).
+                    "diffusion_eval_est_hours": round(
+                        (1000 * 251 * 128 * 128 / rays_per_sec
+                         + (1000 / 32) * 1000 / sampler_steps) / 3600, 2)
+                }
+                if sampler_steps
+                else {}
+            ),
             "baseline_note": "vs estimated A100 stage-2 step rate 4.2/s (roofline; reference publishes no throughput)",
         },
     }

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import fused_qkv_attention_tokens
+from ...ops.mlp_tail import dense_bias_in_dw
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
@@ -185,36 +186,28 @@ def _torch_linear_init(in_features: int):
     return init
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _gelu_materialized_grad(a, approximate: bool):
-    """GELU whose backward materializes ds = g * gelu'(a) exactly once.
+class FusedBiasGradDense(nn.Module):
+    """nn.Dense drop-in (same param tree, byte-identical forward) whose
+    backward folds the bias gradient into the dW matmul
+    (ops/mlp_tail.py). Used for c_fc, whose output cotangent is the
+    unmaterialized ds = (dy @ c_proj^T) * gelu'(a) expression — the plain
+    autodiff bias colsum re-evaluates it unhidden at 0.73 ms/layer on
+    v5e."""
 
-    Plain autodiff leaves ds as an unfused elementwise expression that XLA
-    duplicates into each of its three consumers. The dW and dX matmuls hide
-    the recompute behind the MXU, but the bias gradient colsum cannot: it
-    became a standalone fusion re-reading BOTH [M, 4W] tensors (g and a)
-    and re-running gelu' — measured 0.73 ms per layer at the 302M config
-    (17.6 ms/step total, the single largest non-matmul cost). The
-    optimization_barrier forces one materialization of ds; the bias grad
-    then reduces a resident tensor (~0.03 ms, cf. the qkv bias grad) and
-    dW/dX read one tensor instead of two. Forward is untouched (the
-    barrier only exists in the backward), so gelu still fuses into the
-    c_fc/c_proj matmuls. Numerics are bit-identical to autodiff: ds is
-    computed by jax.vjp of the same primal."""
-    return nn.gelu(a, approximate=approximate)
+    features: int
+    kernel_init: Any
+    dtype: jnp.dtype = jnp.float32
 
-
-def _gelu_mat_fwd(a, approximate):
-    return nn.gelu(a, approximate=approximate), a
-
-
-def _gelu_mat_bwd(approximate, a, g):
-    _, vjp = jax.vjp(lambda x: nn.gelu(x, approximate=approximate), a)
-    (ds,) = vjp(g)
-    return (jax.lax.optimization_barrier(ds),)
-
-
-_gelu_materialized_grad.defvjp(_gelu_mat_fwd, _gelu_mat_bwd)
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (jnp.shape(x)[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return dense_bias_in_dw(x, kernel, bias, self.dtype)
 
 
 class TransformerMLP(nn.Module):
@@ -248,16 +241,15 @@ class TransformerMLP(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.tp > 1:
             x = tp_replicate(x, self.tp_axis)
-        a = nn.Dense(
-            self.width * 4 // self.tp,
+        a = FusedBiasGradDense(
+            features=self.width * 4 // self.tp,
             kernel_init=_normal_init(self.init_scale),
-            bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="c_fc",
         )(x)
 
         def tail(mdl, a):
-            ga = _gelu_materialized_grad(a, mdl.gelu == "tanh")
+            ga = nn.gelu(a, approximate=mdl.gelu == "tanh")
             if mdl.tp > 1:
                 return RowParallelDense(
                     features=mdl.width,
