@@ -38,9 +38,10 @@ column index map.
   * per head: softmax(QK^T / sqrt(D)) V with bf16 MXU inputs and f32
     accumulation/statistics; keys >= valid_len (sequence padding) are
     masked out of the softmax
-  * the forward also emits per-head log-sum-exp so the backward rebuilds
-    p = exp(logits - lse) with no row max/sum/divide; no [B, H, S, S]
-    tensor ever exists in HBM in either direction
+  * the forward also emits per-head log-sum-exp (base-2, see _LOG2_E) so
+    the backward rebuilds p = exp2(logits2 - lse2) with no row
+    max/sum/divide; no [B, H, S, S] tensor ever exists in HBM in either
+    direction
 
 VMEM per program at the SRN-Cars config (S=520, D=64, 8 heads/block):
 q/k/v(/g) blocks [520, 512] bf16 ~= 0.53 MB each, logits + dP f32 ~= 2.2 MB.
@@ -53,6 +54,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# The kernels work in base-2 exponential space: log2(e) is folded into the
+# softmax scale (one [S, D]-free constant fold — the scale multiply on the
+# [S, S] logits already exists), and exp2 replaces exp. On TPU exp(x)
+# lowers to exp2(x * log2e) with an extra [S, S] VPU multiply pass per
+# call site; exp2 skips it in both the forward and the backward's softmax
+# recompute. The lse residual is stored in base-2 units (m2 + log2(l));
+# it never leaves the fwd->bwd pair.
+_LOG2_E = 1.4426950408889634
 
 
 def _heads_per_block(heads: int, d: int, groups: int = 1) -> int:
@@ -76,7 +86,7 @@ def _logits(q, k, sm_scale, valid_len):
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale  # [S, S] f32
+    ) * (sm_scale * _LOG2_E)  # [S, S] f32, base-2 logits (module docstring)
     if valid_len is not None and valid_len < q.shape[0]:
         # keys beyond valid_len are padding tokens (the caller pads S up to
         # a sublane multiple so HBM reshapes around the kernel are bitcasts)
@@ -94,7 +104,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
         sl = slice(h * d, (h + 1) * d)
         logits = _logits(xq[:, sl], xk[:, sl], sm_scale, valid_len)
         m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
+        e = jnp.exp2(logits - m)
         l = jnp.sum(e, axis=-1, keepdims=True)
         # normalize the small [S, D] output instead of the [S, S] weight
         # matrix (saves a full S x S elementwise pass), casting e to the IO
@@ -102,9 +112,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
         # fallback's weights.astype(q.dtype); accumulation stays f32
         o = jnp.dot(e.astype(xv.dtype), xv[:, sl], preferred_element_type=jnp.float32)
         o_ref[:, sl] = (o / l).astype(o_ref.dtype)
-        # log-sum-exp residual ([S, 1] per head, heads on lanes) lets the
-        # backward rebuild p = exp(logits - lse) with no max/sum/divide
-        lse_ref[0, 0, :, h : h + 1] = m + jnp.log(l)
+        # base-2 log-sum-exp residual ([S, 1] per head, heads on lanes) lets
+        # the backward rebuild p = exp2(logits2 - lse2), no max/sum/divide
+        lse_ref[0, 0, :, h : h + 1] = m + jnp.log2(l)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
@@ -125,9 +135,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
         q, k, v, g = xq[:, sl], xk[:, sl], xv[:, sl], xg[:, sl]
-        lse = lse_ref[0, 0, :, h : h + 1]  # [S, 1] f32
+        lse = lse_ref[0, 0, :, h : h + 1]  # [S, 1] f32, base-2 units
         logits = _logits(q, k, sm_scale, valid_len)
-        p = jnp.exp(logits - lse)  # normalized, pad keys -> exp(-inf) = 0
+        p = jnp.exp2(logits - lse)  # normalized, pad keys -> exp2(-inf) = 0
         pc = p.astype(io)
         dv = jax.lax.dot_general(
             pc, g, dimension_numbers=(((0,), (0,)), ((), ())),
