@@ -56,12 +56,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # The kernels work in base-2 exponential space: log2(e) is folded into the
-# softmax scale (one [S, D]-free constant fold — the scale multiply on the
-# [S, S] logits already exists), and exp2 replaces exp. On TPU exp(x)
-# lowers to exp2(x * log2e) with an extra [S, S] VPU multiply pass per
-# call site; exp2 skips it in both the forward and the backward's softmax
-# recompute. The lse residual is stored in base-2 units (m2 + log2(l));
-# it never leaves the fwd->bwd pair.
+# softmax scale, which is itself pre-applied to the [S, D] q block (S/D
+# ~8x cheaper than a multiply pass over the [S, S] logits), and exp2
+# replaces exp. On TPU exp(x) lowers to exp2(x * log2e) with an extra
+# [S, S] VPU multiply pass per call site; exp2 skips it in both the
+# forward and the backward's softmax recompute. The lse residual is stored
+# in base-2 units (m2 + log2(l)); it never leaves the fwd->bwd pair.
 _LOG2_E = 1.4426950408889634
 
 
@@ -77,21 +77,37 @@ def _heads_per_block(heads: int, d: int, groups: int = 1) -> int:
     return hg
 
 
-def _logits(q, k, sm_scale, valid_len):
+def _mask_bias(s, valid_len):
+    """[1, S] additive key-padding mask (0 real / -1e30 pad), or None.
+
+    Computed ONCE per grid program and broadcast-added into the logits
+    scale pass — a per-head [S, S] iota+compare+select costs three VPU
+    elemops per logit where the add costs one."""
+    if valid_len is None or valid_len >= s:
+        return None
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    return jnp.where(key_idx < valid_len, 0.0, -1e30).astype(jnp.float32)
+
+
+def _logits(q_scaled, k, mask_bias):
     # q/k stay in their storage dtype (bf16 in the denoiser): the MXU
     # multiplies bf16 at full rate with f32 accumulation; converting the
     # blocks to f32 first (the first-generation kernel) forced the ~4x
     # slower f32 MXU path and capped the whole attention family at
     # ~54 TFLOPS on v5e. Softmax statistics remain f32.
+    #
+    # The softmax scale (with log2(e) folded in, module docstring) is
+    # pre-applied to q by the caller as an [S, D] pass — S/D (~8x) cheaper
+    # than scaling the [S, S] logits, and the same fold the reference's
+    # fp16 einsum path uses (transformer.py:68-84 pre-scales q/k).
     logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        q_scaled, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (sm_scale * _LOG2_E)  # [S, S] f32, base-2 logits (module docstring)
-    if valid_len is not None and valid_len < q.shape[0]:
+    )  # [S, S] f32, base-2 logits
+    if mask_bias is not None:
         # keys beyond valid_len are padding tokens (the caller pads S up to
         # a sublane multiple so HBM reshapes around the kernel are bitcasts)
-        key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(key_idx < valid_len, logits, -1e30)
+        logits = logits + mask_bias
     return logits
 
 
@@ -100,9 +116,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
     xq = q_ref[...]  # [S, hpb*D], storage dtype
     xk = k_ref[...]
     xv = v_ref[...]
+    mask_bias = _mask_bias(xq.shape[0], valid_len)
+    c2 = jnp.asarray(sm_scale * _LOG2_E, xq.dtype)
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
-        logits = _logits(xq[:, sl], xk[:, sl], sm_scale, valid_len)
+        logits = _logits(xq[:, sl] * c2, xk[:, sl], mask_bias)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp2(logits - m)
         l = jnp.sum(e, axis=-1, keepdims=True)
@@ -132,11 +150,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
     xv = v_ref[...]
     xg = g_ref[...]
     io = xq.dtype
+    mask_bias = _mask_bias(xq.shape[0], valid_len)
+    c2 = jnp.asarray(sm_scale * _LOG2_E, io)
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
         q, k, v, g = xq[:, sl], xk[:, sl], xv[:, sl], xg[:, sl]
         lse = lse_ref[0, 0, :, h : h + 1]  # [S, 1] f32, base-2 units
-        logits = _logits(q, k, sm_scale, valid_len)
+        logits = _logits(q * c2, k, mask_bias)
         p = jnp.exp2(logits - lse)  # normalized, pad keys -> exp2(-inf) = 0
         pc = p.astype(io)
         dv = jax.lax.dot_general(
@@ -148,12 +168,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
             preferred_element_type=jnp.float32,
         )
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * sm_scale).astype(io)
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        # sm_scale is applied to the [S, D] f32 matmul outputs below, not to
+        # the [S, S] ds — one fewer full-logits VPU pass, and the f32
+        # post-scale rounds once less than scaling ds before the io cast
+        ds = (p * (dp - delta)).astype(io)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
         dk = jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * sm_scale
         dq_ref[:, sl] = dq.astype(dq_ref.dtype)
         dk_ref[:, sl] = dk.astype(dk_ref.dtype)
         dv_ref[:, sl] = dv.astype(dv_ref.dtype)
