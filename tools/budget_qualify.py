@@ -34,7 +34,10 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import numpy as np
 
 
-def _run(budget, steps, record_every, batch_size, n_obj, views, seed):
+def _run(budget, steps, record_every, batch_size, n_obj, views, seed,
+         geom=None):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -48,14 +51,27 @@ def _run(budget, steps, record_every, batch_size, n_obj, views, seed):
     )
     from npcd_tpu.utils.config import pointnerf_default_options
 
+    # geom: optional (rays, depth, max_shading, image_size) downscale for
+    # CPU feasibility — the overflow *dynamics* question is geometry-scaled
+    # (budget below the valid-sample count), the default is the production
+    # geometry (112, 128, 50, 128).
+    rays, depth, max_shading, image_size = geom or (112, 128, 50, 128)
     ds = create_dataset(
-        "SyntheticNPCTrain", n_obj=n_obj, num_views=views, image_size=128,
-        num_points=512, seed=seed,
+        "SyntheticNPCTrain", n_obj=n_obj, num_views=views,
+        image_size=image_size, num_points=512, seed=seed,
     )
     opts = pointnerf_default_options()  # reference geometry: 512 pts, 112
     # rays, 128 depth samples, max_shading_pts 50
+    opts = dataclasses.replace(
+        opts,
+        renderer=dataclasses.replace(
+            opts.renderer, depth_resolution=depth, ray_subsamples=rays),
+        aggregator=dataclasses.replace(
+            opts.aggregator, max_shading_pts=max_shading),
+        default_resolution=image_size,
+    )
     cfg = PointNeRFRenderConfig(
-        train_rays=112,
+        train_rays=rays,
         train_instance_chunk=batch_size * views,
         compute_dtype=jnp.bfloat16,
         shading_budget=budget,
@@ -120,7 +136,19 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tol", type=float, default=0.05)
     p.add_argument("--out", default="runs/budget_qualify")
+    p.add_argument("--geom", default=None,
+                   help="rays,depth,max_shading,image_size downscale for "
+                        "CPU runs (default: production 112,128,50,128)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax backend in-process (the axon plugin "
+                        "ignores the JAX_PLATFORMS env var)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    geom = (tuple(int(x) for x in args.geom.split(","))
+            if args.geom else None)
 
     import os
 
@@ -130,7 +158,7 @@ def main(argv=None):
     runs = {}
     dense_trace, dense_rate = _run(
         None, args.steps, args.record_every, args.batch_size, args.n_obj,
-        args.views, args.seed,
+        args.views, args.seed, geom,
     )
     runs["dense"] = {"trace": dense_trace, "steps_per_sec": round(dense_rate, 3)}
     print(f"dense: {dense_rate:.3f} steps/s", file=sys.stderr)
@@ -140,7 +168,7 @@ def main(argv=None):
     for b in budgets:
         trace, rate = _run(
             b, args.steps, args.record_every, args.batch_size, args.n_obj,
-            args.views, args.seed,
+            args.views, args.seed, geom,
         )
         runs[f"budget_{b}"] = {"trace": trace, "steps_per_sec": round(rate, 3)}
         loss = _ema([t["loss"] for t in trace])
@@ -156,7 +184,7 @@ def main(argv=None):
               f"{'PASS' if verdicts[str(b)]['pass'] else 'FAIL'}",
               file=sys.stderr)
 
-    result = {"steps": args.steps, "verdicts": verdicts,
+    result = {"steps": args.steps, "geom": geom, "verdicts": verdicts,
               "dense_steps_per_sec": runs["dense"]["steps_per_sec"]}
     with open(osp.join(args.out, "budget_qualify.json"), "w") as f:
         json.dump({**result, "runs": runs}, f)
