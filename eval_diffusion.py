@@ -42,8 +42,14 @@ def eval(args):
     params = load_weights_only(args.weights, params)
     logging.info(f"Loaded weights from {args.weights}")
 
+    mesh = None
+    if args.mesh:
+        from npcd_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     evaluation = DiffusionEvaluation(
         out_dir=out_dir,
+        mesh=mesh,
         **config["diffusion_evaluation"],
     )
     evaluation(
@@ -76,4 +82,7 @@ if __name__ == "__main__":
     parser.add_argument("--comment", type=str)
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu, tpu).")
+    parser.add_argument("--mesh", action="store_true",
+                        help="Data-parallel eval over all local devices "
+                             "(objects shard in the sampler and renderer).")
     eval(parser.parse_args())

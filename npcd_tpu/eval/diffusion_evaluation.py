@@ -14,6 +14,12 @@ object loop (diffusion_evaluation.py:24,163) — the per-pose Python loop was
 the reference's biggest eval inefficiency. Inception is fed all
 G*num_poses images of a render group at once (the extractor chunks
 internally).
+
+With ``mesh`` (a 1-D ('data',) jax.sharding.Mesh) the whole pipeline runs
+data-parallel: generated objects shard over the axis in both the scan
+sampler and the renderer (params replicated, GSPMD-inserted collectives) —
+rendering is the dominant eval cost (~250k images for the SRN-Cars
+protocol) and shards embarrassingly.
 """
 from __future__ import annotations
 
@@ -49,6 +55,7 @@ class DiffusionEvaluation:
         intrinsics: Optional[np.ndarray] = None,
         max_poses: Optional[int] = None,
         verbose: bool = True,
+        mesh=None,
     ):
         import os.path as _osp
 
@@ -60,6 +67,23 @@ class DiffusionEvaluation:
         self.resolution = resolution
         self.verbose = verbose
         self.inception_pkl_path = inception_pkl_path
+        self.mesh = mesh
+        if mesh is not None:
+            # data-parallel eval: objects shard over the 'data' axis both in
+            # the sampler and the renderer, so batch sizes are rounded up to
+            # device-count multiples (the work per object is identical, so
+            # rounding only changes the grouping)
+            n_dev = mesh.devices.size
+            r = lambda v: max(n_dev, (v + n_dev - 1) // n_dev * n_dev)
+            if (self.generate_batch_size % n_dev or
+                    self.render_object_batch % n_dev):
+                self.generate_batch_size = r(self.generate_batch_size)
+                self.render_object_batch = r(self.render_object_batch)
+                logging.info(
+                    f"diffusion eval on {n_dev} devices: batch sizes rounded "
+                    f"to generate={self.generate_batch_size}, "
+                    f"render_objects={self.render_object_batch}"
+                )
 
         self.poses = poses if poses is not None else np.load(poses_path)
         self.intrinsics = (
@@ -122,6 +146,14 @@ class DiffusionEvaluation:
                 return pd.read_pickle(results_file)
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        data_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data_shard = NamedSharding(self.mesh, PartitionSpec("data"))
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+            pointnerf_params = jax.device_put(pointnerf_params, replicated)
+            diffusion_state = jax.device_put(diffusion_state, replicated)
         fidkid = FIDKID(
             num_images=self.num_samples * len(self.poses),
             feature_extractor=self.feature_extractor,
@@ -146,7 +178,8 @@ class DiffusionEvaluation:
         ):
             rng, rng_gen = jax.random.split(rng)
             coords_b, feats_b = model.diffusion.generate(
-                diffusion_state, rng_gen, num=n_gen, batch_size=n_gen, progress=False
+                diffusion_state, rng_gen, num=n_gen, batch_size=n_gen,
+                progress=False, data_sharding=data_shard,
             )  # [n, 3, P], [n, F, P]
 
             # render multiple generated objects x a pose batch per jit call
@@ -157,23 +190,34 @@ class DiffusionEvaluation:
             # extractor chunks internally)
             for j0 in range(0, n_gen, self.render_object_batch):
                 g = min(self.render_object_batch, n_gen - j0)
-                coords = jnp.asarray(
-                    coords_b[j0 : j0 + g].transpose(0, 2, 1)
+                # objects shard over 'data' (each device renders g/n_dev
+                # objects x the pose batch); indivisible tails run unsharded
+                shard = (
+                    data_shard
+                    if data_shard is not None
+                    and g % self.mesh.devices.size == 0
+                    else None
+                )
+                put = (lambda a: jax.device_put(a, shard)) if shard else jnp.asarray
+                coords = put(
+                    np.ascontiguousarray(coords_b[j0 : j0 + g].transpose(0, 2, 1))
                 )  # [g, P, 3]
-                feats = jnp.asarray(feats_b[j0 : j0 + g].transpose(0, 2, 1))
+                feats = put(
+                    np.ascontiguousarray(feats_b[j0 : j0 + g].transpose(0, 2, 1))
+                )
                 images = []
                 for pose_idx in pose_batches:
-                    extr = jnp.asarray(
-                        np.broadcast_to(
+                    extr = put(
+                        np.ascontiguousarray(np.broadcast_to(
                             self.poses[pose_idx][None],
                             (g, len(pose_idx), 4, 4),
-                        )
+                        ))
                     )
-                    intr = jnp.asarray(
-                        np.broadcast_to(
+                    intr = put(
+                        np.ascontiguousarray(np.broadcast_to(
                             self.intrinsics[pose_idx][None],
                             (g, len(pose_idx), 3, 3),
-                        )
+                        ))
                     )
                     channels = render_poses(
                         pointnerf_params, coords, feats, extr, intr

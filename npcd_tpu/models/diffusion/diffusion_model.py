@@ -147,7 +147,7 @@ class DiffusionModel:
             noise=(coords_noise, feats_noise),
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
     def _generate_batch(
         self,
         state: DiffusionState,
@@ -155,6 +155,7 @@ class DiffusionModel:
         batch_size: int,
         return_trajectory: bool = False,
         trajectory_stride: int = 1,
+        data_sharding=None,
     ):
         rng_c, rng_f, rng_loop = jax.random.split(rng, 3)
         coords_start = jax.random.normal(
@@ -163,6 +164,15 @@ class DiffusionModel:
         feats_start = jax.random.normal(
             rng_f, (batch_size, self.feats_dim, self.num_points), jnp.float32
         )
+        if data_sharding is not None:
+            # constrain the initial noise to the data axis; GSPMD then
+            # shards the whole scan-based sampler over the batch (params
+            # replicated by the caller). Static argument: NamedSharding is
+            # hashable, and each (batch_size, sharding) pair compiles once.
+            coords_start = jax.lax.with_sharding_constraint(
+                coords_start, data_sharding)
+            feats_start = jax.lax.with_sharding_constraint(
+                feats_start, data_sharding)
         out = self.process.p_sample_loop(
             rng_loop,
             self.denoise_fn(state.params),
@@ -189,6 +199,7 @@ class DiffusionModel:
         progress: bool = False,
         return_trajectory: bool = False,
         trajectory_stride: int = 1,
+        data_sharding=None,
     ):
         """Generate `num` neural point clouds.
 
@@ -202,12 +213,22 @@ class DiffusionModel:
         space — the reference collects them pre-denormalization too
         (diffusion_model.py:119-127 denormalizes only the final state).
         ``trajectory_stride`` keeps every stride-th step to bound memory.
+
+        ``data_sharding`` (a NamedSharding over a data axis) runs each
+        generate batch data-parallel: the initial noise is placed sharded
+        and GSPMD partitions the scan sampler over the batch. Pass state
+        replicated over the same mesh. Indivisible tail batches fall back
+        to unsharded execution.
         """
         coords_out, feats_out, traj_out = [], [], []
         for i, bs in enumerate(split_num(num, batch_size)):
             rng, rng_batch = jax.random.split(rng)
+            shard = data_sharding
+            if shard is not None and bs % len(shard.mesh.devices.flat):
+                shard = None  # indivisible tail batch: run unsharded
             out = self._generate_batch(
-                state, rng_batch, bs, return_trajectory, trajectory_stride
+                state, rng_batch, bs, return_trajectory, trajectory_stride,
+                data_sharding=shard,
             )
             coords_out.append(np.asarray(out[0]))
             feats_out.append(np.asarray(out[1]))

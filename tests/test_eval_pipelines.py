@@ -108,6 +108,73 @@ def test_diffusion_evaluation_e2e(tmp_path):
     pd.testing.assert_series_equal(results, again)
 
 
+def test_diffusion_evaluation_mesh_dp_matches_single(tmp_path):
+    """DP eval over the 8 fake devices ('data' mesh: sharded sampler +
+    renderer) produces the same FID/KID as the unsharded pipeline on the
+    same rng — GSPMD partitioning is semantics-preserving."""
+    from npcd_tpu.parallel import make_mesh
+
+    npcd = _tiny_npcd()
+    pn_params = npcd.pointnerf.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (4, P, 3),
+                                minval=-0.4, maxval=0.4)
+    pn_params = npcd.pointnerf.set_all_coords(pn_params, coords)
+    dstate = npcd.diffusion.init(jax.random.PRNGKey(2))
+    dstate = npcd.diffusion.fit_normalizers(
+        dstate,
+        np.random.default_rng(0).normal(size=(3, 256)).astype(np.float32),
+        np.random.default_rng(1).normal(size=(FD, 256)).astype(np.float32),
+    )
+    extr, intr = random_cameras(3, RES, seed=0)
+
+    rng = np.random.default_rng(2)
+    proj = np.random.default_rng(0).normal(size=(RES * RES * 3, 8)).astype(np.float32)
+    real_imgs = rng.uniform(0, 1, (20, RES, RES, 3)).astype(np.float32)
+    real_feats = real_imgs.reshape(20, -1) @ proj
+    pkl_path = str(tmp_path / "inception_stats.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"mean": real_feats.mean(0),
+                     "cov": np.cov(real_feats, rowvar=False),
+                     "feats_np": real_feats}, f)
+
+    kw = dict(
+        num_samples=8,
+        poses=extr, intrinsics=intr,
+        inception_pkl_path=pkl_path,
+        feature_extractor="random_projection:8",
+        generate_batch_size=8,
+        render_pose_batch=2,
+        render_object_batch=8,
+        resolution=RES,
+        verbose=False,
+    )
+    base = DiffusionEvaluation(**kw)(
+        npcd, pn_params, dstate, rng=jax.random.PRNGKey(3))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 fake CPU devices
+    dp = DiffusionEvaluation(mesh=mesh, **kw)(
+        npcd, pn_params, dstate, rng=jax.random.PRNGKey(3))
+
+    # same protocol, same rng; sharded reductions may reorder float sums
+    np.testing.assert_allclose(dp["fid"], base["fid"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dp["kid"], base["kid"], rtol=1e-4, atol=1e-5)
+
+
+def test_diffusion_evaluation_mesh_rounds_batches():
+    """Indivisible batch sizes are rounded up to device-count multiples."""
+    from npcd_tpu.parallel import make_mesh
+
+    extr, intr = random_cameras(2, RES, seed=0)
+    ev = DiffusionEvaluation(
+        num_samples=4, poses=extr, intrinsics=intr,
+        feature_extractor="random_projection:8",
+        generate_batch_size=3, render_object_batch=2, resolution=RES,
+        mesh=make_mesh(),
+    )
+    assert ev.generate_batch_size % 8 == 0
+    assert ev.render_object_batch % 8 == 0
+
+
 def test_pointnerf_evaluation_outputs(tmp_path):
     ds = create_dataset("SyntheticNPCTrain", n_obj=4, num_views=2,
                         image_size=RES, num_points=P)
