@@ -43,7 +43,14 @@ def eval(args):
     params = load_weights_only(args.weights, params, tolerant=True)  # strict=False in the reference
     logging.info(f"Loaded weights from {args.weights}")
 
-    evaluation = PointNeRFEvaluation(out_dir=out_dir, eval_batch_size=args.eval_batch_size)
+    mesh = None
+    if args.mesh:
+        from npcd_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    evaluation = PointNeRFEvaluation(out_dir=out_dir,
+                                     eval_batch_size=args.eval_batch_size,
+                                     mesh=mesh)
     evaluation(
         dataset,
         model,
@@ -82,6 +89,10 @@ if __name__ == "__main__":
                         help="Accepted for reference-CLI compatibility (wandb is not bundled).")
     parser.add_argument("--exp_id", type=str)
     parser.add_argument("--comment", type=str)
+    parser.add_argument("--mesh", action="store_true",
+                        help="Data-parallel eval over all local devices "
+                             "(view batches shard across the mesh; use with "
+                             "--eval_batch_size >= device count).")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu, tpu).")
     eval(parser.parse_args())

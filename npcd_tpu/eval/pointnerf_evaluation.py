@@ -31,11 +31,20 @@ class PointNeRFEvaluation:
         out_dir: Optional[str] = None,
         eval_batch_size: int = 1,
         verbose: bool = True,
+        mesh=None,
     ):
+        """``mesh`` (a 1-D ('data',) jax.sharding.Mesh) shards each render
+        call's view batch over the axis (params replicated) — PSNR eval is
+        ~117k full-resolution renders for SRN-Cars, embarrassingly view-
+        parallel. View chunks not divisible by the device count fall back
+        to unsharded calls, and the per-forward runtime protocol
+        (eval_batch_size=1, reference pointnerf_evaluation.py:222-232)
+        remains a single-device measurement by construction."""
         self.out_dir = out_dir
         self.eval_batch_size = eval_batch_size
         self.verbose = verbose
         self.burn_in_samples = 3
+        self.mesh = mesh
 
     def __call__(
         self,
@@ -69,6 +78,15 @@ class PointNeRFEvaluation:
                                     resolution=resolution)
             return pred["channels"]
 
+        view_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            params = jax.device_put(
+                params, NamedSharding(self.mesh, PartitionSpec()))
+            # cameras shard on the view dim (dim 1 of [1, V, ...])
+            view_shard = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+
         rows = []
         times = []
         for n, idx in enumerate(indices):
@@ -83,8 +101,13 @@ class PointNeRFEvaluation:
             channels = []
             for start in view_chunks:
                 sl = slice(start, start + self.eval_batch_size)
+                intr_c, extr_c = intr[:, sl], extr[:, sl]
+                if (view_shard is not None
+                        and intr_c.shape[1] % self.mesh.devices.size == 0):
+                    intr_c = jax.device_put(intr_c, view_shard)
+                    extr_c = jax.device_put(extr_c, view_shard)
                 t0 = time.time()
-                out = render_views(params, obj_idx, intr[:, sl], extr[:, sl])
+                out = render_views(params, obj_idx, intr_c, extr_c)
                 out = jax.block_until_ready(out)
                 dt = time.time() - t0
                 if n >= self.burn_in_samples and self.eval_batch_size == 1:

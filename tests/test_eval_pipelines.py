@@ -207,6 +207,35 @@ def test_pointnerf_evaluation_outputs(tmp_path):
     pd.testing.assert_frame_equal(df, df2)
 
 
+def test_pointnerf_evaluation_mesh_dp_matches_single():
+    """View-sharded PSNR eval over the 8 fake devices equals the
+    single-device run (params replicated, cameras sharded on the view dim)."""
+    from npcd_tpu.parallel import make_mesh
+
+    ds = create_dataset("SyntheticNPCTrain", n_obj=2, num_views=8,
+                        image_size=RES, num_points=P)
+    opts = pointnerf_default_options(num_points=P, feat_dim=FD)
+    opts = dataclasses.replace(
+        opts,
+        renderer=dataclasses.replace(opts.renderer, depth_resolution=16,
+                                     ray_subsamples=24),
+        aggregator=dataclasses.replace(opts.aggregator, max_shading_pts=6),
+        default_resolution=RES,
+    )
+    pn = PointNeRF(n_obj=2, feats_dim=FD, num_points=P, opts=opts,
+                   render_config=PointNeRFRenderConfig(eval_ray_chunk=256))
+    params = pn.init_params(jax.random.PRNGKey(0))
+    params = pn.set_all_coords(params, ds.get_all_coords())
+
+    base = PointNeRFEvaluation(eval_batch_size=8, verbose=False)(
+        ds, pn, params, samples=2, resolution=RES)
+    mesh = make_mesh()
+    dp = PointNeRFEvaluation(eval_batch_size=8, verbose=False, mesh=mesh)(
+        ds, pn, params, samples=2, resolution=RES)
+
+    np.testing.assert_allclose(dp["psnr"], base["psnr"], rtol=1e-5, atol=1e-5)
+
+
 def test_inception_feed_contract():
     """The tensor handed to the TorchScript graph must be NCHW uint8 with
     values exactly round(img*255) for 255-level-quantized images — the
