@@ -215,3 +215,59 @@ def test_stage1_sharded_embedding_tables_match_single_device():
         if "table" in jax.tree_util.keystr(kp):
             assert got_leaf.sharding.is_equivalent_to(want_leaf, got_leaf.ndim), (
                 jax.tree_util.keystr(kp), got_leaf.sharding)
+
+
+def test_dp_step_collective_traffic_is_one_grad_psum():
+    """The DP train step's cross-device traffic should be exactly the
+    gradient reduction: all all-reduce bytes in the compiled HLO sum to
+    ~1x the trainable parameter bytes (plus scalar metrics), and there are
+    no all-gathers of parameters or activations. This is the communication
+    model behind the linear-DP-scaling projection in docs/PERF.md."""
+    import re
+
+    model = DiffusionModel(coords_dim=3, feats_dim=4, num_points=16,
+                           width=32, layers=1, heads=2, attn_impl="einsum")
+    tx = optax.adamw(1e-3)
+    ema_cfgs = (EmaConfig(power=1.0, min_value=0.9, max_value=0.9),)
+    step = make_diffusion_train_step(model, tx, ema_cfgs, donate=False)
+
+    batch = {
+        "coords": jax.random.normal(jax.random.PRNGKey(1), (8, 3, 16)),
+        "feats": jax.random.normal(jax.random.PRNGKey(2), (8, 4, 16)),
+    }
+    mesh = make_mesh()
+    state_dp = replicate(_make_state(model, tx), mesh)
+    batch_dp = shard_batch(batch, mesh)
+    hlo = (
+        jax.jit(step)
+        .lower(state_dp, batch_dp, jax.random.PRNGKey(3))
+        .compile()
+        .as_text()
+    )
+
+    assert "all-gather" not in hlo, [
+        l.strip() for l in hlo.splitlines() if "all-gather" in l
+    ][:5]
+
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state_dp.params)
+    )
+    # XLA emits ONE all-reduce whose output tuple holds every grad leaf
+    # (plus scalar metric reductions): sum the element counts of all
+    # all-reduce definition outputs, e.g.
+    #   %all-reduce.26 = (f32[96,32]{1,0}, f32[32]{0}, ...) all-reduce(...)
+    ar_elems = 0
+    n_ar = 0
+    for m in re.finditer(r"= (\([^)]*\)|\S+) all-reduce\(", hlo):
+        n_ar += 1
+        for shape in re.findall(r"f32\[([0-9,]*)\]", m.group(1)):
+            if not shape:
+                ar_elems += 1  # scalar (loss/grad-norm metrics)
+                continue
+            n = 1
+            for d in shape.split(","):
+                n *= int(d)
+            ar_elems += n
+    assert n_ar >= 1, "no all-reduce found in the compiled DP step"
+    # one psum over every grad leaf + a handful of scalar metric psums
+    assert n_params <= ar_elems <= n_params + 64, (n_params, ar_elems, n_ar)
