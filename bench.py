@@ -428,9 +428,16 @@ def main():
     parser.add_argument("--mesh", action="store_true",
                         help="also measure DP scaling of the stage-2 step over "
                              "all local devices (no-op on a single device)")
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                        help="force a jax backend in-process (the axon "
+                             "plugin ignores the JAX_PLATFORMS env var); "
+                             "CPU numbers are smoke-test-only")
     args = parser.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     preset = args.preset
     if preset is None:
@@ -493,7 +500,14 @@ def main():
                     # render_batch_size=1 (diffusion_evaluation.py:163-175).
                     "diffusion_eval_est_hours": round(
                         (1000 * 251 * 128 * 128 / rays_per_sec
-                         + (1000 / 32) * 1000 / sampler_steps) / 3600, 2)
+                         + (1000 / 32) * 1000 / sampler_steps) / 3600, 2),
+                    # derived v5e-8 estimate: the eval is object/view-DP
+                    # (DiffusionEvaluation(mesh=...), 8-fake-device
+                    # equivalence tested in tests/test_eval_pipelines.py)
+                    # and both phases shard embarrassingly
+                    "diffusion_eval_est_hours_dp8": round(
+                        (1000 * 251 * 128 * 128 / rays_per_sec
+                         + (1000 / 32) * 1000 / sampler_steps) / 3600 / 8, 2),
                 }
                 if sampler_steps
                 else {}
