@@ -34,7 +34,7 @@ import pandas as pd
 
 from ..utils import logging, writer
 from ..utils.fidkid import FIDKID, TorchScriptInceptionExtractor
-from ..utils.util import chunks
+from ..utils.util import chunks, split_num
 
 
 class DiffusionEvaluation:
@@ -174,7 +174,7 @@ class DiffusionEvaluation:
         done = 0
         qualitative_stride = max(1, self.num_samples // max(num_qualitatives, 1))
         for gen_idx, n_gen in enumerate(
-            _split(self.num_samples, self.generate_batch_size)
+            split_num(self.num_samples, self.generate_batch_size)
         ):
             rng, rng_gen = jax.random.split(rng)
             coords_b, feats_b = model.diffusion.generate(
@@ -264,9 +264,3 @@ class DiffusionEvaluation:
         except Exception as e:
             logging.warning(f"qualitative save failed: {e}")
 
-
-def _split(num: int, size: int):
-    out = [size] * (num // size)
-    if num % size:
-        out.append(num % size)
-    return out
