@@ -12,15 +12,59 @@ Layout: x [N, S, W] with W a multiple of 128 (lane dim); grid over N; each
 program normalizes one [S, W] slab. Saved residuals for the backward are the
 bf16 input plus per-row mean/rstd (f32, [N, S]) — smaller than what XLA
 autodiff would keep.
+
+Row-block layout experiment (NPCD_LN_ROWS): LayerNorm is per-row, so the
+grid does not have to follow the batch dim. Setting NPCD_LN_ROWS=R (a
+multiple of 16 dividing N*S) re-blocks the flattened token stream
+[N*S, W] into [N*S/R, R, W] slabs — the same kernels run over a different
+grid/block-size trade-off (DMA pipelining granularity vs per-program
+overhead). NPCD_LN_ROWS=auto picks the largest divisor <= 1024. Unset/0
+keeps the per-batch slab layout. Numerics are identical in every layout
+(each row is normalized independently); `tools/tputime.py` is the intended
+A/B harness.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# LayerNorm grid steps are independent rows; telling Mosaic lets it
+# pipeline/reorder programs freely.
+_PARALLEL_GRID = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
+def _grid_layout(n: int, s: int) -> tuple[int, int]:
+    """(grid, rows-per-program) for the [N, S, W] inputs.
+
+    Default: (n, s) — one program per batch slab. With NPCD_LN_ROWS set,
+    re-block the flattened N*S rows into blocks of R rows (R must divide
+    N*S and be a multiple of 16 so bf16 sublane tiles stay aligned);
+    invalid settings fall back to the slab layout.
+    """
+    v = os.environ.get("NPCD_LN_ROWS", "").strip()
+    if not v or v == "0":
+        return n, s
+    ns = n * s
+    if v == "auto":
+        r = 0
+        for cand in range(16, min(ns, 1024) + 1, 16):
+            if ns % cand == 0:
+                r = cand
+        if r == 0:
+            return n, s
+    else:
+        try:
+            r = int(v)
+        except ValueError:
+            return n, s
+    if r <= 0 or r % 16 != 0 or ns % r != 0:
+        return n, s
+    return ns // r, r
 
 
 def _ln_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, mean_ref, rstd_ref,
@@ -60,56 +104,73 @@ def _ln_bwd_kernel(x_ref, gamma_ref, mean_ref, rstd_ref, g_ref,
 
 def _ln_fwd_impl(x, gamma, beta, eps):
     n, s, w = x.shape
+    gn, gs = _grid_layout(n, s)
+    if (gn, gs) != (n, s):
+        x = x.reshape(gn, gs, w)
     gamma2 = gamma.reshape(1, w)
     beta2 = beta.reshape(1, w)
     y, mean, rstd = pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
         out_shape=(
-            jax.ShapeDtypeStruct((n, s, w), x.dtype),
-            jax.ShapeDtypeStruct((n, s, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((gn, gs, w), x.dtype),
+            jax.ShapeDtypeStruct((gn, gs, 1), jnp.float32),
+            jax.ShapeDtypeStruct((gn, gs, 1), jnp.float32),
         ),
-        grid=(n,),
+        grid=(gn,),
         in_specs=[
-            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
+        compiler_params=_PARALLEL_GRID,
     )(x, gamma2, beta2)
+    if (gn, gs) != (n, s):
+        y = y.reshape(n, s, w)
+        mean = mean.reshape(n, s, 1)
+        rstd = rstd.reshape(n, s, 1)
     return y, mean, rstd
 
 
 def _ln_bwd_impl(x, gamma, mean, rstd, g):
     n, s, w = x.shape
+    gn, gs = _grid_layout(n, s)
+    if (gn, gs) != (n, s):
+        x = x.reshape(gn, gs, w)
+        mean = mean.reshape(gn, gs, 1)
+        rstd = rstd.reshape(gn, gs, 1)
+        g = g.reshape(gn, gs, w)
     gamma2 = gamma.reshape(1, w)
     dx, dgamma_parts, dbeta_parts = pl.pallas_call(
         _ln_bwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n, s, w), x.dtype),
-            jax.ShapeDtypeStruct((n, 1, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, w), jnp.float32),
+            jax.ShapeDtypeStruct((gn, gs, w), x.dtype),
+            jax.ShapeDtypeStruct((gn, 1, w), jnp.float32),
+            jax.ShapeDtypeStruct((gn, 1, w), jnp.float32),
         ),
-        grid=(n,),
+        grid=(gn,),
         in_specs=[
-            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
+        compiler_params=_PARALLEL_GRID,
     )(x, gamma2, mean, rstd, g)
     dgamma = jnp.sum(dgamma_parts, axis=(0, 1))
     dbeta = jnp.sum(dbeta_parts, axis=(0, 1))
+    if (gn, gs) != (n, s):
+        dx = dx.reshape(n, s, w)
     return dx, dgamma, dbeta
 
 
@@ -149,60 +210,80 @@ def _lnres_bwd_kernel(r_ref, gamma_ref, mean_ref, rstd_ref, gr_ref, gy_ref,
 
 def _lnres_fwd_impl(x, delta, gamma, beta, eps):
     n, s, w = x.shape
+    gn, gs = _grid_layout(n, s)
+    if (gn, gs) != (n, s):
+        x = x.reshape(gn, gs, w)
+        delta = delta.reshape(gn, gs, w)
     slab = lambda i: (i, 0, 0)
     vec = lambda i: (0, 0)
     r, y, mean, rstd = pl.pallas_call(
         functools.partial(_lnres_fwd_kernel, eps=eps),
         out_shape=(
-            jax.ShapeDtypeStruct((n, s, w), x.dtype),
-            jax.ShapeDtypeStruct((n, s, w), x.dtype),
-            jax.ShapeDtypeStruct((n, s, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((gn, gs, w), x.dtype),
+            jax.ShapeDtypeStruct((gn, gs, w), x.dtype),
+            jax.ShapeDtypeStruct((gn, gs, 1), jnp.float32),
+            jax.ShapeDtypeStruct((gn, gs, 1), jnp.float32),
         ),
-        grid=(n,),
+        grid=(gn,),
         in_specs=[
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), vec, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), slab, memory_space=pltpu.VMEM),
         ),
+        compiler_params=_PARALLEL_GRID,
     )(x, delta, gamma.reshape(1, w), beta.reshape(1, w))
+    if (gn, gs) != (n, s):
+        r = r.reshape(n, s, w)
+        y = y.reshape(n, s, w)
+        mean = mean.reshape(n, s, 1)
+        rstd = rstd.reshape(n, s, 1)
     return r, y, mean, rstd
 
 
 def _lnres_bwd_impl(r, gamma, mean, rstd, gr, gy):
     n, s, w = r.shape
+    gn, gs = _grid_layout(n, s)
+    if (gn, gs) != (n, s):
+        r = r.reshape(gn, gs, w)
+        mean = mean.reshape(gn, gs, 1)
+        rstd = rstd.reshape(gn, gs, 1)
+        gr = gr.reshape(gn, gs, w)
+        gy = gy.reshape(gn, gs, w)
     slab = lambda i: (i, 0, 0)
     dr, dgamma_parts, dbeta_parts = pl.pallas_call(
         _lnres_bwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n, s, w), r.dtype),
-            jax.ShapeDtypeStruct((n, 1, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, w), jnp.float32),
+            jax.ShapeDtypeStruct((gn, gs, w), r.dtype),
+            jax.ShapeDtypeStruct((gn, 1, w), jnp.float32),
+            jax.ShapeDtypeStruct((gn, 1, w), jnp.float32),
         ),
-        grid=(n,),
+        grid=(gn,),
         in_specs=[
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, 1), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, s, w), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gs, w), slab, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w), slab, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w), slab, memory_space=pltpu.VMEM),
         ),
+        compiler_params=_PARALLEL_GRID,
     )(r, gamma.reshape(1, w), mean, rstd, gr, gy)
     dgamma = jnp.sum(dgamma_parts, axis=(0, 1))
     dbeta = jnp.sum(dbeta_parts, axis=(0, 1))
+    if (gn, gs) != (n, s):
+        dr = dr.reshape(n, s, w)
     return dr, dgamma, dbeta
 
 

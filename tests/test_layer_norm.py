@@ -70,6 +70,60 @@ def test_layer_norm_bf16_io():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("rows", ["16", "auto"])
+def test_layer_norm_row_block_layout(monkeypatch, rows):
+    """NPCD_LN_ROWS re-blocks the grid over flattened [N*S] rows; numerics
+    must be identical to the default per-batch slab layout (each row is
+    normalized independently, so the layout is a pure scheduling choice)."""
+    from npcd_tpu.ops.pallas import layer_norm as ln_mod
+
+    n, s, w = 2, 32, 128  # ns=64: rows=16 -> grid 4; auto -> 64 -> grid 1
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, s, w)) * 2 + 0.5
+    delta = jax.random.normal(jax.random.PRNGKey(1), (n, s, w))
+    gamma = jax.random.normal(jax.random.PRNGKey(2), (w,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(3), (w,))
+    gr = jax.random.normal(jax.random.PRNGKey(4), (n, s, w))
+    gy = jax.random.normal(jax.random.PRNGKey(5), (n, s, w))
+
+    def loss(x, delta, gamma, beta):
+        r, y = ln_mod.layer_norm_residual(x, delta, gamma, beta)
+        return (r * gr).sum() + (y * gy).sum()
+
+    def run():
+        y = ln_mod.layer_norm(x, gamma, beta)
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, delta, gamma, beta)
+        return jax.tree_util.tree_map(np.asarray, (y, grads))
+
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            monkeypatch.delenv("NPCD_LN_ROWS", raising=False)
+            base = run()
+            monkeypatch.setenv("NPCD_LN_ROWS", rows)
+            assert ln_mod._grid_layout(n, s) != (n, s)  # layout actually changed
+            blocked = run()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    # dgamma/dbeta are cross-row sums whose f32 accumulation order depends
+    # on the blocking, so allow reduction-order rounding noise.
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5),
+        base, blocked)
+
+
+def test_grid_layout_fallbacks(monkeypatch):
+    """Invalid NPCD_LN_ROWS settings must fall back to the slab layout."""
+    from npcd_tpu.ops.pallas.layer_norm import _grid_layout
+
+    for bad in ("7", "24", "100000", "nonsense", "0", ""):
+        monkeypatch.setenv("NPCD_LN_ROWS", bad)
+        assert _grid_layout(32, 520) == (32, 520), bad
+    monkeypatch.setenv("NPCD_LN_ROWS", "auto")
+    gn, gs = _grid_layout(32, 520)  # ns=16640
+    assert gn * gs == 32 * 520 and gs % 16 == 0 and gs <= 1024
+    monkeypatch.setenv("NPCD_LN_ROWS", "640")
+    assert _grid_layout(32, 520) == (26, 640)
+
+
 def test_layer_norm_residual_values_and_grads():
     """Fused residual-add LayerNorm (used by every transformer block on
     TPU): values and all four gradients, incl. both incoming cotangents
