@@ -188,7 +188,10 @@ class DiffusionTraining:
             feats_norm=dstate.feats_norm,
         )
 
-        self.saver = CheckpointSaver(self.checkpoints_dir, "diffusion_training")
+        # async: the 20-min full-state snapshot serializes on a background
+        # thread instead of blocking the 302M-param step loop
+        self.saver = CheckpointSaver(self.checkpoints_dir, "diffusion_training",
+                                     async_save=True)
         self._restore()
 
         if self.tp > 1:
@@ -287,6 +290,7 @@ class DiffusionTraining:
 
         self.saver.save(jax.device_get(self.state), it)
         self._save_weights_only(it)
+        self.saver.finish()  # final snapshot must be durable before returning
         self.finished_iterations = it
         return self.state
 

@@ -145,7 +145,10 @@ class PointNeRFTraining:
             step=jnp.zeros((), jnp.int32),
         )
 
-        self.saver = CheckpointSaver(self.checkpoints_dir, "pointnerf_training")
+        # async: the 20-min full-state snapshot serializes on a background
+        # thread instead of blocking the step loop
+        self.saver = CheckpointSaver(self.checkpoints_dir, "pointnerf_training",
+                                     async_save=True)
         self.finished_iterations = 0
         if self.saver.latest() is not None:
             self.state, self.finished_iterations = self.saver.restore(self.state)
@@ -266,5 +269,6 @@ class PointNeRFTraining:
             os.path.join(self.weights_dir, f"pointnerf-iter-{it:09d}"),
             jax.device_get(self.state.params),
         )
+        self.saver.finish()  # final snapshot must be durable before returning
         self.finished_iterations = it
         return self.state

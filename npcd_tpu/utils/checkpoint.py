@@ -81,14 +81,29 @@ class CheckpointSaver:
     run on process 0 only. With per-host local checkpoint dirs, stale
     directories on non-zero processes would never be cleaned and a
     subsequent save could mix old files — point ``base_dir`` at shared
-    storage for any jax.process_count() > 1 job."""
+    storage for any jax.process_count() > 1 job.
 
-    def __init__(self, base_dir: str, base_name: str, max_to_keep: Optional[int] = 3):
+    ``async_save=True`` uses orbax's AsyncCheckpointer: ``save()`` returns
+    once the state has been snapshotted to host memory and the serialization
+    runs on a background thread, so training continues during the disk write
+    (the reference's ``torch.save`` blocks the step loop for the whole write,
+    ``npcd/utils/checkpoint_utils.py:196-239``). At most one save is in
+    flight — a new ``save()`` first waits out the previous one — and orbax
+    finalizes via tmp-dir+rename, so a crash mid-write never leaves a
+    directory that ``latest()``/``restore()`` would pick up. Call
+    ``finish()`` before relying on the last checkpoint being on disk."""
+
+    def __init__(self, base_dir: str, base_name: str, max_to_keep: Optional[int] = 3,
+                 async_save: bool = False):
         self.base_dir = os.path.abspath(base_dir)
         self.base_name = base_name
         self.max_to_keep = max_to_keep
+        self.async_save = async_save
         os.makedirs(self.base_dir, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
 
     def _path(self, iteration: int) -> str:
         return os.path.join(self.base_dir, f"{self.base_name}-iter-{iteration:09d}")
@@ -108,23 +123,38 @@ class CheckpointSaver:
 
     def save(self, state: Any, iteration: int) -> str:
         path = self._path(iteration)
+        # at most one save in flight (no-op for the sync checkpointer)
+        self._ckptr.wait_until_finished()
         # orbax's save is multi-process collective (every process calls it),
         # but the overwrite/GC rmtree must run on exactly one process when
         # the checkpoint dir is on a shared filesystem
         if jax.process_index() == 0 and os.path.exists(path):
             shutil.rmtree(path)
         _sync("ckpt-pre-save")
-        self._ckptr.save(path, state)
+        if self.async_save:  # AsyncCheckpointer takes args=, Standard takes the tree
+            self._ckptr.save(path, args=ocp.args.StandardSave(state))
+        else:
+            self._ckptr.save(path, state)
+            self._ckptr.wait_until_finished()
+        if jax.process_index() == 0:
+            # during an async save the in-flight checkpoint is still a tmp
+            # dir (finalize renames it), so it is absent from
+            # list_checkpoints() but must count toward max_to_keep
+            self._gc(pending=1 if self.async_save else 0)
+        return path
+
+    def finish(self) -> None:
+        """Block until any in-flight async save is committed to disk."""
         self._ckptr.wait_until_finished()
         if jax.process_index() == 0:
             self._gc()
-        return path
 
-    def _gc(self) -> None:
+    def _gc(self, pending: int = 0) -> None:
         if self.max_to_keep is None:
             return
         ckpts = self.list_checkpoints()
-        for _, path in ckpts[: max(0, len(ckpts) - self.max_to_keep)]:
+        keep = max(0, self.max_to_keep - pending)
+        for _, path in ckpts[: max(0, len(ckpts) - keep)]:
             shutil.rmtree(path, ignore_errors=True)
 
     def latest(self) -> Optional[Tuple[int, str]]:
@@ -141,7 +171,10 @@ class CheckpointSaver:
         else:
             it = _iter_of(path) or 0
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
-        state = self._ckptr.restore(path, abstract)
+        if self.async_save:
+            state = self._ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
+        else:
+            state = self._ckptr.restore(path, abstract)
         return state, it
 
 

@@ -62,6 +62,31 @@ def test_keep_n_gc(tmp_path, state):
     assert kept == [3, 4]
 
 
+def test_async_save_roundtrip_and_gc(tmp_path, state):
+    """async_save=True: save() returns before the write is committed
+    (finalize renames a tmp dir into place), finish() makes it durable, and
+    keep-N GC accounts for the in-flight snapshot. Restored state must be
+    bit-identical to the sync path's."""
+    saver = CheckpointSaver(str(tmp_path), "ck", max_to_keep=2, async_save=True)
+    host = jax.device_get(state)
+    for it in [1, 2, 3]:
+        saver.save(host, it)
+    saver.finish()
+    kept = [it for it, _ in saver.list_checkpoints()]
+    assert kept == [2, 3]
+    restored, it = saver.restore(state)
+    assert it == 3
+    _trees_equal(restored, state)
+
+    # back-to-back saves serialize (at most one in flight) and a finish()
+    # with nothing in flight is a no-op
+    saver.save(host, 4)
+    saver.save(host, 5)
+    saver.finish()
+    saver.finish()
+    assert [it for it, _ in saver.list_checkpoints()] == [4, 5]
+
+
 def test_weights_only(tmp_path, state):
     p = str(tmp_path / "weights")
     save_weights_only(p, jax.device_get(state.params))
