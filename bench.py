@@ -178,8 +178,7 @@ def bench_denoiser_steps(preset: str, with_sampler: bool = False):
             print(f"per-op trace failed: {e}", file=_sys.stderr)
 
     if not with_sampler:
-        # sampler compile costs ~3 min at the full config; keep the default
-        # driver bench fast (run `bench.py --sampler` for the number;
+        # (--no-sampler skips the ~3 min sampler compile at the full config;
         # measured 11.2 reverse steps/s = 89 ms/step at batch 32 on v5e)
         return train_rate, None, breakdown
 
@@ -423,8 +422,9 @@ def bench_render_rays(preset: str) -> float:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", choices=["full", "tiny"], default=None)
-    parser.add_argument("--sampler", action="store_true",
-                        help="also measure DDPM sampler steps/s (adds ~3 min compile)")
+    parser.add_argument("--sampler", action=argparse.BooleanOptionalAction, default=True,
+                        help="measure DDPM sampler steps/s (adds ~3 min compile at "
+                             "the full preset; --no-sampler to skip)")
     parser.add_argument("--mesh", action="store_true",
                         help="also measure DP scaling of the stage-2 step over "
                              "all local devices (no-op on a single device)")
