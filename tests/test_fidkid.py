@@ -65,3 +65,46 @@ def test_fidkid_requires_real_stats():
     fk.feed(np.zeros((4, 2, 2, 3), np.float32), "fakes")
     with pytest.raises(ValueError, match="real statistics"):
         fk.summary()
+
+
+def test_compute_inception_stats_tool(tmp_path):
+    """tools/compute_inception_stats.py: SRN-style test tree -> reference
+    pickle format {mean, cov, feats_np}; a FIDKID eval against the produced
+    pickle with the same images as fakes gives FID ~ 0."""
+    import pickle
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "tools"))
+    from compute_inception_stats import compute_stats, iter_image_batches
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    images = []
+    for obj in range(3):
+        d = tmp_path / f"obj{obj}" / "rgb"
+        d.mkdir(parents=True)
+        for v in range(4):
+            arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{v:06d}.png")
+            images.append(arr.astype(np.float32) / 255.0)
+    # non-rgb clutter must be ignored
+    (tmp_path / "notes").mkdir()
+
+    proj = rng.normal(size=(8 * 8 * 3, 6)).astype(np.float32)
+    extract = lambda imgs: imgs.reshape(len(imgs), -1) @ proj
+
+    batches = list(iter_image_batches(str(tmp_path), image_size=8, batch_size=5))
+    assert sum(len(b) for b in batches) == 12
+    stats = compute_stats(batches, extract)
+    assert stats["feats_np"].shape == (12, 6)
+    np.testing.assert_allclose(stats["mean"], stats["feats_np"].mean(0), rtol=1e-6)
+
+    pkl = tmp_path / "stats.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(stats, f)
+    fk = FIDKID(num_images=12, feature_extractor=extract, inception_pkl=str(pkl))
+    fk.prepare()
+    fk.feed(np.stack(images), "fakes")
+    assert fk.summary(seed=0)["fid"] == pytest.approx(0.0, abs=1e-3)

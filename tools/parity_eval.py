@@ -32,7 +32,9 @@ stage these by hand):
   * inception-2015-12-05.pt: the StyleGAN FID network
     (nvlabs TorchScript export; mmgen downloads it on first use).
   * inception pkl: produced by the SSDNeRF eval pipeline over cars_test
-    (reference npcd/utils/fidkid.py:47-55 documents the format).
+    (reference npcd/utils/fidkid.py:47-55 documents the format) — or
+    regenerate it locally from the raw cars_test split with
+    tools/compute_inception_stats.py (needs only the two assets above).
 
 Smoke-testable offline: every stage takes injectable pieces (dataset,
 feature_extractor, pose subset), exercised end-to-end by
