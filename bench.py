@@ -63,7 +63,7 @@ def _xplane_op_breakdown(trace_dir: str, steps: int, top_n: int = 12):
             return "optimizer/ema"
         head = op.split(" = ")[0]
         if "custom-call" in head or " custom-call(" in op:
-            return "custom-call (pallas attn/ln)"
+            return "custom-call (pallas)"
         if "fusion" in head:
             if "kOutput" in op or "dot" in op:
                 return "matmul fusion"
@@ -360,7 +360,33 @@ def bench_stage1_steps(preset: str):
         state, metrics = step(state, feed, jax.random.fold_in(jax.random.PRNGKey(3), i))
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return 1.0 / dt, b * v * cfg.train_rays / dt
+
+    breakdown = None
+    if preset == "full" and jax.default_backend() == "tpu":
+        # per-op device-time breakdown of the stage-1 step (mirrors the
+        # stage-2 capture in bench_denoiser_steps)
+        import contextlib
+        import os
+        import tempfile
+
+        try:
+            keep = os.environ.get("NPCD_BENCH_TRACE_DIR_S1")
+            ctx = contextlib.nullcontext(keep) if keep else tempfile.TemporaryDirectory()
+            with ctx as td:
+                with jax.profiler.trace(td):
+                    for i in range(3):
+                        state, metrics = step(
+                            state, feed,
+                            jax.random.fold_in(jax.random.PRNGKey(5), i),
+                        )
+                    float(metrics["loss"])
+                breakdown = _xplane_op_breakdown(td, steps=3, top_n=8)
+        except Exception as e:  # profiling must never fail the bench
+            import sys as _sys
+
+            print(f"stage-1 per-op trace failed: {e}", file=_sys.stderr)
+
+    return 1.0 / dt, b * v * cfg.train_rays / dt, breakdown
 
 
 def bench_render_rays(preset: str) -> float:
@@ -462,7 +488,7 @@ def main():
     print(f"denoiser steps/s: {steps_per_sec:.4f}{note}", file=sys.stderr)
     rays_per_sec = bench_render_rays(preset)
     print(f"render rays/s: {rays_per_sec:.1f}", file=sys.stderr)
-    s1_steps, s1_rays = bench_stage1_steps(preset)
+    s1_steps, s1_rays, s1_breakdown = bench_stage1_steps(preset)
     print(f"stage1 steps/s: {s1_steps:.3f} train rays/s: {s1_rays:.0f}", file=sys.stderr)
 
     dp = None
@@ -506,6 +532,7 @@ def main():
                 else {}
             ),
             **({"op_breakdown": op_breakdown} if op_breakdown else {}),
+            **({"stage1_op_breakdown": s1_breakdown} if s1_breakdown else {}),
             **(
                 {
                     # single-chip wall-clock estimate for the full FID
