@@ -39,6 +39,7 @@ def test_generate_samples_cli(tmp_path):
         "--num", "2", "--batch-size", "2", "--seed", "0",
         "--trajectory-stride", "50",
         "--render", "1",
+        "--swap", "2",
         "--poses", str(tmp_path / "poses.npy"),
         "--intrinsics", str(tmp_path / "intrinsics.npy"),
         "--render-poses", "2", "--resolution", "16",
@@ -52,3 +53,8 @@ def test_generate_samples_cli(tmp_path):
     assert data["trajectory_coords"].shape[1] == 2
     assert data["trajectory_coords"].shape[-1] == 32
     assert osp.exists(osp.join(out, "sample0000.png"))
+    # disentanglement demo: 2x2 shape x appearance cross grid
+    from PIL import Image
+
+    grid = Image.open(osp.join(out, "swap_grid.png"))
+    assert grid.size == (2 * 16, 2 * 16)

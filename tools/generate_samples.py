@@ -45,6 +45,13 @@ def main(argv=None):
     p.add_argument("--intrinsics", help="[V,3,3] .npy")
     p.add_argument("--render-poses", type=int, default=4,
                    help="poses per rendered object")
+    p.add_argument("--swap", type=int, default=0,
+                   help="disentanglement demo: render an NxN grid crossing "
+                        "the first N samples' SHAPES (coords, rows) with "
+                        "their APPEARANCES (feats, columns) from the first "
+                        "pose — the paper's headline capability (shape and "
+                        "appearance are separate latents, so they recombine "
+                        "freely). Requires --poses/--intrinsics.")
     p.add_argument("--resolution", type=int, default=128)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -95,6 +102,44 @@ def main(argv=None):
         arrays["trajectory_feats"] = np.asarray(traj.feats_ts)
     np.savez(path, **arrays)
     logging.info(f"Saved {args.num} point clouds to {path}")
+
+    if args.swap > 0:
+        if not (args.poses and args.intrinsics):
+            raise SystemExit("--swap requires --poses and --intrinsics")
+        n = min(args.swap, args.num)
+        pose = np.load(args.poses)[:1].astype(np.float32)
+        k = np.load(args.intrinsics)[:1].astype(np.float32)
+        # cross product: instance (i, j) = shape of sample i + appearance of
+        # sample j; the generated latents factor cleanly because coords and
+        # feats are separate channels of the NPC (paper §1; reference
+        # models/npcd.py keeps them separate end to end)
+        ci = np.repeat(coords[:n].transpose(0, 2, 1), n, axis=0)  # [n*n,P,3]
+        fj = np.tile(feats[:n].transpose(0, 2, 1), (n, 1, 1))     # [n*n,P,F]
+
+        @jax.jit
+        def render_swap(pn_params, c, f, extr, kk):
+            out = model.pointnerf.render(
+                pn_params, c, f, extr, kk, resolution=args.resolution
+            )
+            return out["channels"]
+
+        nn = n * n
+        channels = render_swap(
+            params["pointnerf"], jnp.asarray(ci), jnp.asarray(fj),
+            jnp.asarray(np.broadcast_to(pose[None], (nn,) + pose.shape)),
+            jnp.asarray(np.broadcast_to(k[None], (nn,) + k.shape)),
+        )  # [n*n, 1, H*W, 3]
+        grid = np.clip(np.asarray(channels), 0, 1).reshape(
+            n * n, args.resolution, args.resolution, 3
+        )
+        from npcd_tpu.utils.vis import tile_images, vis_image
+
+        img = vis_image(tile_images(list(grid), cols=n))
+        img.save(osp.join(args.out, "swap_grid.png"))
+        logging.info(
+            f"Saved {n}x{n} shape(rows) x appearance(cols) grid to "
+            f"{osp.join(args.out, 'swap_grid.png')}"
+        )
 
     if args.render > 0:
         if not (args.poses and args.intrinsics):
