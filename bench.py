@@ -464,18 +464,19 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # the tunneled TPU can be unreachable — and backend init can HANG
+        # in-process, not just raise — so probe in a killable subprocess
+        # first and fall back to a CPU smoke run rather than hang/crash
+        # with no JSON (the driver records the "backend" field either way)
+        from npcd_tpu.utils.util import backend_initializes
 
-    # the tunneled TPU can be unreachable (axon plugin raises after a long
-    # probe); fall back to a CPU smoke run rather than crash with no JSON —
-    # the driver records the "backend" field either way
-    try:
-        backend = jax.default_backend()
-    except RuntimeError as e:
-        import sys as _sys
+        if not backend_initializes():
+            import sys as _sys
 
-        print(f"backend init failed ({e}); falling back to cpu", file=_sys.stderr)
-        jax.config.update("jax_platforms", "cpu")
-        backend = jax.default_backend()
+            print("backend init probe failed; falling back to cpu", file=_sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+    backend = jax.default_backend()
 
     preset = args.preset
     if preset is None:

@@ -37,6 +37,30 @@ def to_numpy(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def backend_initializes(timeout_s: float = 300.0) -> bool:
+    """True if JAX backend init succeeds in a fresh subprocess within
+    ``timeout_s``.
+
+    Probing in-process is unbounded: a registered-but-unreachable device
+    plugin (e.g. this image's tunneled TPU) can make ``jax.devices()`` hang
+    indefinitely rather than raise, and an initialized-then-failed backend
+    cannot be retried in-process. A subprocess probe is killable and leaves
+    this process free to force ``jax_platforms='cpu'`` afterwards. Call
+    BEFORE anything triggers backend init in this process."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def count_parameters(params: Any) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
