@@ -39,7 +39,10 @@ def eval(args):
     model = NPCD.from_config(config)
     params = model.init_params(jax.random.PRNGKey(args.seed))
     # weights checkpoint holds {'pointnerf': ..., 'diffusion': DiffusionState}
-    params = load_weights_only(args.weights, params)
+    params = load_weights_only(
+        args.weights, params,
+        expected_layout={"qkv_groups": model.diffusion.denoiser.resolved_qkv_groups()},
+    )
     logging.info(f"Loaded weights from {args.weights}")
 
     mesh = None

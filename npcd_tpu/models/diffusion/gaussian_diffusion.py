@@ -69,6 +69,17 @@ class GaussianDiffusion:
             + extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
         )
 
+    def q_sample_next(self, x_t, t, noise):
+        """One forward-process step x_t -> x_{t+1} (reference
+        gaussian_diffusion.py:78-89). Unused by the reference pipelines;
+        kept for API completeness. Matches the reference exactly, including
+        its noise scale of beta_t (not sqrt(beta_t))."""
+        s = self.schedule
+        return (
+            extract(s.sqrt_one_minus_betas, t, x_t.ndim) * x_t
+            + extract(s.betas, t, x_t.ndim) * noise
+        )
+
     def q_posterior_mean_variance(self, x_start, x_t, t):
         s = self.schedule
         mean = (

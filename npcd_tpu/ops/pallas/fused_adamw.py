@@ -62,11 +62,16 @@ def _kernel(scalars_ref, g_ref, p_ref, mu_ref, nu_ref, *refs,
 
 
 def _pick_block_rows(rows: int, cols: int) -> Optional[int]:
+    """Largest row-block <= the VMEM byte target that divides `rows`.
+    Returns None when the divisor search lands on a non-sublane-aligned
+    block (b % 8 != 0, e.g. odd row counts): leaf_eligible then routes the
+    leaf to the XLA fallback instead of relying on Mosaic masking of
+    misaligned tiles."""
     target = max(8, _TARGET_BLOCK_BYTES // (cols * 4))
     b = min(rows, target)
     while b > 1 and rows % b:
         b -= 1
-    return b if rows % b == 0 else None
+    return b if b % 8 == 0 else None
 
 
 def leaf_eligible(x) -> bool:

@@ -105,7 +105,15 @@ def make_tp_diffusion_train_step(
     over `data_axis` (batch_size % mesh.shape[data_axis] == 0).
 
     `tx` is either an optax GradientTransformation (reference update path)
-    or a train.fused_update.FusedAdamWEma (single-fusion-per-leaf update)."""
+    or a train.fused_update.FusedAdamWEma (single-fusion-per-leaf update).
+
+    WARNING: a plain optax `tx` runs tx.update INSIDE shard_map, where each
+    model shard sees only its local grad leaves. Any transform that reduces
+    ACROSS leaves — optax.clip_by_global_norm above all — would compute a
+    different norm on every model shard and silently diverge the replicated
+    params. Pass grad clipping via FusedAdamWEma(clip_max_norm=...) instead:
+    its update takes the mesh-correct `grad_norm` computed below (model-axis
+    psum over sharded leaves). Per-leaf transforms (adamw, scale) are safe."""
     from ..train.fused_update import FusedAdamWEma
 
     fused = tx if isinstance(tx, FusedAdamWEma) else None

@@ -190,8 +190,13 @@ class DiffusionTraining:
 
         # async: the 20-min full-state snapshot serializes on a background
         # thread instead of blocking the 302M-param step loop
+        # layout_meta: the fused-qkv channel grouping is recorded with every
+        # checkpoint — a checkpoint saved under a different qkv_groups has
+        # identical shapes but permuted c_qkv columns, which a plain restore
+        # would silently accept (see utils/checkpoint.check_layout_meta)
+        self.layout_meta = {"qkv_groups": model.denoiser.resolved_qkv_groups()}
         self.saver = CheckpointSaver(self.checkpoints_dir, "diffusion_training",
-                                     async_save=True)
+                                     async_save=True, layout_meta=self.layout_meta)
         self._restore()
 
         if self.tp > 1:
@@ -300,6 +305,7 @@ class DiffusionTraining:
         save_weights_only(
             os.path.join(self.weights_dir, f"npcd-iter-{it:09d}"),
             jax.device_get(self.state.diffusion_state()),
+            layout_meta=self.layout_meta,
         )
         for cfg, ema in zip(self.ema_cfgs, self.state.ema_params):
             save_weights_only(
@@ -307,4 +313,5 @@ class DiffusionTraining:
                     self.weights_dir, f"npcd-ema_{cfg.param_string()}-iter-{it:09d}"
                 ),
                 jax.device_get(self.state.diffusion_state(params=ema)),
+                layout_meta=self.layout_meta,
             )

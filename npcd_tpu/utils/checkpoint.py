@@ -21,6 +21,61 @@ import jax
 import orbax.checkpoint as ocp
 
 _ITER_RE = re.compile(r"-iter-(\d{9})$")
+_LAYOUT_SUFFIX = ".layout.json"
+
+
+def write_layout_meta(ckpt_path: str, meta: dict) -> None:
+    """Record parameter-layout metadata (e.g. the fused-qkv channel grouping,
+    models/diffusion/transformer.py qkv_groups) in a sidecar JSON next to a
+    checkpoint directory. Layouts with identical array shapes but permuted
+    channels restore without error and silently corrupt the model; the
+    sidecar makes the mismatch detectable at load time."""
+    import json
+
+    if jax.process_index() != 0:
+        return
+    with open(ckpt_path.rstrip("/") + _LAYOUT_SUFFIX, "w") as f:
+        json.dump(meta, f)
+
+
+def read_layout_meta(ckpt_path: str) -> Optional[dict]:
+    import json
+
+    p = ckpt_path.rstrip("/") + _LAYOUT_SUFFIX
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def check_layout_meta(ckpt_path: str, expected: dict, what: str = "checkpoint") -> None:
+    """Fail loudly when a checkpoint's recorded layout disagrees with the
+    layout the current model expects. A sidecar-less checkpoint (pre-layout-
+    versioning) gets a warning instead, since its layout is unknowable."""
+    from . import logging
+
+    meta = read_layout_meta(ckpt_path)
+    if meta is None:
+        logging.warning(
+            f"{what} {ckpt_path} has no layout metadata sidecar; assuming its "
+            f"parameter layout matches the current model ({expected}). If it "
+            "was saved under a different qkv_groups, attention will be "
+            "silently corrupted — relayout with "
+            "npcd_tpu.utils.convert_reference.relayout_qkv."
+        )
+        return
+    mismatch = {k: (meta.get(k), v) for k, v in expected.items()
+                if k in meta and meta[k] != v}
+    if mismatch:
+        raise ValueError(
+            f"{what} {ckpt_path} was saved under a different parameter layout: "
+            + ", ".join(f"{k}: checkpoint={a} vs model={b}"
+                        for k, (a, b) in mismatch.items())
+            + ". Shapes match, so a plain restore would silently permute "
+            "attention channels. Either construct the model with the "
+            "checkpoint's layout (e.g. qkv_groups) or migrate the weights "
+            "with npcd_tpu.utils.convert_reference.relayout_qkv."
+        )
 
 
 def _sync(tag: str) -> None:
@@ -94,11 +149,12 @@ class CheckpointSaver:
     ``finish()`` before relying on the last checkpoint being on disk."""
 
     def __init__(self, base_dir: str, base_name: str, max_to_keep: Optional[int] = 3,
-                 async_save: bool = False):
+                 async_save: bool = False, layout_meta: Optional[dict] = None):
         self.base_dir = os.path.abspath(base_dir)
         self.base_name = base_name
         self.max_to_keep = max_to_keep
         self.async_save = async_save
+        self.layout_meta = layout_meta
         os.makedirs(self.base_dir, exist_ok=True)
         if async_save:
             self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
@@ -125,22 +181,30 @@ class CheckpointSaver:
         path = self._path(iteration)
         # at most one save in flight (no-op for the sync checkpointer)
         self._ckptr.wait_until_finished()
-        # orbax's save is multi-process collective (every process calls it),
-        # but the overwrite/GC rmtree must run on exactly one process when
-        # the checkpoint dir is on a shared filesystem
-        if jax.process_index() == 0 and os.path.exists(path):
-            shutil.rmtree(path)
+        # GC now, when every checkpoint on disk is finalized: keep exactly
+        # max_to_keep restorable snapshots at all times. (GC'ing right after
+        # issuing an async save would have to reserve a slot for the
+        # in-flight tmp dir and would leave only max_to_keep-1 restorable
+        # snapshots between finalize and the next save.) Disk transiently
+        # holds max_to_keep+1 once the new save finalizes, until the next
+        # save's GC.
+        # The overwrite/GC rmtree must run on exactly one process when the
+        # checkpoint dir is on a shared filesystem (orbax's save itself is
+        # multi-process collective: every process calls it).
+        if jax.process_index() == 0:
+            self._gc()
+            if os.path.exists(path):
+                shutil.rmtree(path)
         _sync("ckpt-pre-save")
         if self.async_save:  # AsyncCheckpointer takes args=, Standard takes the tree
             self._ckptr.save(path, args=ocp.args.StandardSave(state))
         else:
             self._ckptr.save(path, state)
             self._ckptr.wait_until_finished()
-        if jax.process_index() == 0:
-            # during an async save the in-flight checkpoint is still a tmp
-            # dir (finalize renames it), so it is absent from
-            # list_checkpoints() but must count toward max_to_keep
-            self._gc(pending=1 if self.async_save else 0)
+            if jax.process_index() == 0:
+                self._gc()  # sync save is already finalized; GC immediately
+        if self.layout_meta is not None:
+            write_layout_meta(path, self.layout_meta)
         return path
 
     def finish(self) -> None:
@@ -149,13 +213,16 @@ class CheckpointSaver:
         if jax.process_index() == 0:
             self._gc()
 
-    def _gc(self, pending: int = 0) -> None:
+    def _gc(self) -> None:
         if self.max_to_keep is None:
             return
         ckpts = self.list_checkpoints()
-        keep = max(0, self.max_to_keep - pending)
-        for _, path in ckpts[: max(0, len(ckpts) - keep)]:
+        for _, path in ckpts[: max(0, len(ckpts) - self.max_to_keep)]:
             shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.remove(path + _LAYOUT_SUFFIX)
+            except OSError:
+                pass
 
     def latest(self) -> Optional[Tuple[int, str]]:
         ckpts = self.list_checkpoints()
@@ -170,6 +237,8 @@ class CheckpointSaver:
             it, path = latest
         else:
             it = _iter_of(path) or 0
+        if self.layout_meta is not None:
+            check_layout_meta(path, self.layout_meta, what="checkpoint")
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         if self.async_save:
             state = self._ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
@@ -178,7 +247,8 @@ class CheckpointSaver:
         return state, it
 
 
-def save_weights_only(path: str, params: Any) -> None:
+def save_weights_only(path: str, params: Any,
+                      layout_meta: Optional[dict] = None) -> None:
     path = os.path.abspath(path)
     if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
@@ -186,9 +256,12 @@ def save_weights_only(path: str, params: Any) -> None:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, params)
     ckptr.wait_until_finished()
+    if layout_meta is not None:
+        write_layout_meta(path, layout_meta)
 
 
-def load_weights_only(path: str, target: Any, tolerant: bool = False) -> Any:
+def load_weights_only(path: str, target: Any, tolerant: bool = False,
+                      expected_layout: Optional[dict] = None) -> Any:
     """Restore a weights-only snapshot into the structure of `target`.
 
     tolerant=True mirrors the reference FlexEmbedding behavior
@@ -198,6 +271,8 @@ def load_weights_only(path: str, target: Any, tolerant: bool = False) -> Any:
     instead of raising."""
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(path)
+    if expected_layout is not None:
+        check_layout_meta(path, expected_layout, what="weights snapshot")
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
     if not tolerant:
         return ckptr.restore(path, abstract)

@@ -94,6 +94,45 @@ def test_weights_only(tmp_path, state):
     _trees_equal(loaded, state.params)
 
 
+def test_layout_meta_mismatch_detected(tmp_path, state):
+    """A checkpoint saved under a different fused-qkv grouping has identical
+    array shapes (restore would silently permute attention channels); the
+    layout sidecar must make both the saver and the weights-only paths fail
+    loudly (ADVICE r2: qkv layout versioning)."""
+    host = jax.device_get(state)
+
+    saver = CheckpointSaver(str(tmp_path / "full"), "ck", layout_meta={"qkv_groups": 1})
+    saver.save(host, 1)
+    ok = CheckpointSaver(str(tmp_path / "full"), "ck", layout_meta={"qkv_groups": 1})
+    ok.restore(state)  # matching layout restores fine
+    bad = CheckpointSaver(str(tmp_path / "full"), "ck", layout_meta={"qkv_groups": 2})
+    with pytest.raises(ValueError, match="qkv_groups"):
+        bad.restore(state)
+
+    p = str(tmp_path / "weights")
+    save_weights_only(p, host.params, layout_meta={"qkv_groups": 1})
+    load_weights_only(p, state.params, expected_layout={"qkv_groups": 1})
+    with pytest.raises(ValueError, match="qkv_groups"):
+        load_weights_only(p, state.params, expected_layout={"qkv_groups": 2})
+
+    # pre-versioning checkpoint (no sidecar): warn, don't raise
+    p2 = str(tmp_path / "weights_legacy")
+    save_weights_only(p2, host.params)
+    load_weights_only(p2, state.params, expected_layout={"qkv_groups": 2})
+
+
+def test_layout_meta_gc_removes_sidecar(tmp_path, state):
+    import os
+
+    host = jax.device_get(state)
+    saver = CheckpointSaver(str(tmp_path), "ck", max_to_keep=1,
+                            layout_meta={"qkv_groups": 2})
+    saver.save(host, 1)
+    saver.save(host, 2)
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["ck-iter-000000002", "ck-iter-000000002.layout.json"]
+
+
 def test_load_weights_only_tolerant_shape_mismatch(tmp_path):
     """FlexEmbedding semantics (reference flex_embedding.py:9-26): a leaf
     saved with a different shape (e.g. n_obj mismatch) restores to the

@@ -27,6 +27,19 @@ def test_q_sample_closed_form(gd):
         np.testing.assert_allclose(xt[i], expected, rtol=1e-6)
 
 
+def test_q_sample_next_closed_form(gd):
+    """Matches reference gaussian_diffusion.py:78-89 (noise scaled by beta_t,
+    not sqrt(beta_t), exactly as the reference computes it)."""
+    xt = jnp.ones((2, 3, 4))
+    noise = jnp.full((2, 3, 4), 0.5)
+    t = jnp.array([0, 999])
+    out = np.asarray(gd.q_sample_next(xt, t, noise))
+    s = gd.schedule
+    for i, ti in enumerate([0, 999]):
+        expected = float(s.sqrt_one_minus_betas[ti]) * 1.0 + float(s.betas[ti]) * 0.5
+        np.testing.assert_allclose(out[i], expected, rtol=1e-6)
+
+
 def test_xstart_eps_roundtrip(gd):
     rng = jax.random.PRNGKey(0)
     x0 = jax.random.normal(rng, (4, 3, 8))

@@ -71,7 +71,10 @@ def main(argv=None):
     config = load_config(args.config)
     model = NPCD.from_config(config)
     params = model.init_params(jax.random.PRNGKey(args.seed))
-    params = load_weights_only(args.weights, params)
+    params = load_weights_only(
+        args.weights, params,
+        expected_layout={"qkv_groups": model.diffusion.denoiser.resolved_qkv_groups()},
+    )
     logging.info(f"Loaded weights from {args.weights}")
 
     data_sharding = None
