@@ -111,7 +111,8 @@ def aggregate_features(
     kp_feat: jnp.ndarray,
     compute_dtype: Any = jnp.float32,
     neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_weights: bool = False,
+):
     """Per-shading-point aggregated features.
 
     Args:
@@ -121,9 +122,16 @@ def aggregate_features(
       kp_pos:      [B, P, 3] neural point coords.
       kp_feat:     [B, P, F] neural point features.
       neighbors:   optional precomputed (idx, nb_mask) from knn_neighbors.
+      return_weights: additionally return the per-pair aggregation weights
+        and neighbor indices (the dense analogue of the reference's sparse
+        agg_res {"weights", "shading_idx", "kp_idx"} triple,
+        fields/field.py:148-149) for the kp_weights compositing diagnostic.
     Returns:
       feat:     [B, N, out_dim] aggregated features (zeros where invalid).
       valid_pt: [B, N] final validity (had >= 1 neighbor within radius).
+      (if return_weights) w:   [B, N, k] normalized inv-dist weights
+                               (zeros at masked pairs).
+      (if return_weights) idx: [B, N, k] keypoint index of each pair.
     """
     kp_pos = jax.lax.stop_gradient(kp_pos)  # detach_points=True
 
@@ -166,4 +174,6 @@ def aggregate_features(
         "bnk,bnkc->bnc", w.astype(local_feat.dtype), local_feat
     )
     valid_pt = pts_mask & jnp.any(nb_mask, axis=-1)
+    if return_weights:
+        return feat, valid_pt, w, idx
     return feat, valid_pt

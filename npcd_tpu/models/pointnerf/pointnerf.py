@@ -35,7 +35,12 @@ from .field import field_heads
 from .math_utils import fill_invalid_ray_limits, get_ray_limits_box
 from .nn_core import init_mlp, posenc_dim
 from .ray_sampler import generate_rays
-from .renderer import fix_shading_depths, ray_march, sample_depths
+from .renderer import (
+    composite_kp_weights,
+    fix_shading_depths,
+    ray_march,
+    sample_depths,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,10 +159,13 @@ class PointNeRF:
         max_shading_pts: int,
         ray_chunk: int,
         select_rays: Optional[int] = None,
+        kp_weights: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         o = self.opts
         i_dim, r_dim = rays_o.shape[:2]
         m = max_shading_pts
+        if kp_weights and train:
+            raise ValueError("kp_weights compositing is an eval-only diagnostic")
 
         ray_start, ray_end = get_ray_limits_box(rays_o, rays_d, o.renderer.cube_scale)
         ray_start, ray_end = fill_invalid_ray_limits(ray_start, ray_end)
@@ -227,12 +235,13 @@ class PointNeRF:
         def field_chunk(d_c, msk, r_o, r_d, r_e, kpp, kpf, neighbors=None):
             n_i, n_r = d_c.shape[:2]
             pts = r_o[:, :, None, :] + d_c[..., None] * r_d[:, :, None, :]
-            feat, valid_pt = aggregate_features(
+            agg = aggregate_features(
                 params["aggregator"], o.aggregator, o.knn_radius,
                 pts.reshape(n_i, -1, 3), msk.reshape(n_i, -1),
                 kpp, kpf, compute_dtype=self.cfg.compute_dtype,
-                neighbors=neighbors,
+                neighbors=neighbors, return_weights=kp_weights,
             )
+            feat, valid_pt = agg[0], agg[1]
             feat = feat.reshape(n_i, n_r, m, -1)
             valid_pt = valid_pt.reshape(n_i, n_r, m)
             ray_dir = r_d if o.field.use_dir else None
@@ -241,7 +250,17 @@ class PointNeRF:
                 compute_dtype=self.cfg.compute_dtype,
             )
             d_fixed = fix_shading_depths(d_c, valid_pt, r_e)
-            return ray_march(sigma, d_fixed, rgb, o.renderer.white_back)
+            out = ray_march(sigma, d_fixed, rgb, o.renderer.white_back,
+                            return_weights=kp_weights)
+            if kp_weights:
+                # per-keypoint attribution (reference field.py:148-149 +
+                # renderer.py:177-184); kNN pairs reshaped to per-ray [M, K]
+                agg_w = agg[2].reshape(n_i, n_r, m, -1)
+                nb_idx = agg[3].reshape(n_i, n_r, m, -1)
+                out["kp_weights"] = composite_kp_weights(
+                    out.pop("sample_weights"), agg_w, nb_idx, kpp.shape[1]
+                )
+            return out
 
         if train:
             cap = self.cfg.shading_budget
@@ -382,13 +401,18 @@ class PointNeRF:
 
                 def dead(_):
                     bg = 1.0 if o.renderer.white_back else 0.0
-                    return {
+                    out = {
                         "mask": jnp.zeros((i_dim, ray_chunk), jnp.float32),
                         # matches ray_march on an all-invalid chunk: composite
                         # is nan -> inf -> clipped to the chunk's max depth
                         "depth": jnp.full((i_dim, ray_chunk), jnp.max(r_e)),
                         "channels": jnp.full((i_dim, ray_chunk, 3), bg, jnp.float32),
                     }
+                    if kp_weights:
+                        out["kp_weights"] = jnp.zeros(
+                            (i_dim, ray_chunk, kp_pos.shape[1]), jnp.float32
+                        )
+                    return out
 
                 return jax.lax.cond(
                     jnp.any(msk),
@@ -520,9 +544,15 @@ class PointNeRF:
         intrinsics: jnp.ndarray,   # [B, V, 3, 3]
         resolution: int = 128,
         max_shading_points: Optional[int] = None,
+        kp_weights: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Generation-time render of explicit point clouds
-        (reference pointnerf.py:107-131)."""
+        (reference pointnerf.py:107-131).
+
+        kp_weights=True additionally composites per-keypoint aggregation
+        weights along each ray (point-attribution diagnostic, reference
+        field.py:148-149 / renderer.py:177-184): output gains 'kp_weights'
+        [B, V, R, P]."""
         o = self.opts
         b, v = extrinsics.shape[:2]
         i_dim = b * v
@@ -545,11 +575,15 @@ class PointNeRF:
             rng=None, train=False,
             max_shading_pts=max_shading_points or o.aggregator.max_shading_pts,
             ray_chunk=self.cfg.eval_ray_chunk,
+            kp_weights=kp_weights,
         )
         reshape = lambda a: a.reshape(b, v, *a.shape[1:])
-        return {
+        res_out = {
             "mask": reshape(out["mask"])[..., None],
             "depth": reshape(out["depth"])[..., None],
             "channels": reshape(out["channels"]),
             "ray_valid": reshape(out["ray_valid"]),
         }
+        if kp_weights:
+            res_out["kp_weights"] = reshape(out["kp_weights"])
+        return res_out

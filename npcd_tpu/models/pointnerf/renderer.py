@@ -70,9 +70,13 @@ def ray_march(
     depths: jnp.ndarray,
     rgb: Optional[jnp.ndarray],
     white_back: bool,
+    return_weights: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """sigma/depths: [..., M], rgb: [..., M, 3] ->
-    {mask [...], depth [...], channels [..., 3]}."""
+    {mask [...], depth [...], channels [..., 3]}.
+
+    return_weights=True adds 'sample_weights' [..., M] (the per-sample
+    compositing weights, consumed by composite_kp_weights)."""
     deltas = jnp.concatenate(
         [depths[..., 1:] - depths[..., :-1], jnp.zeros_like(depths[..., :1])],
         axis=-1,
@@ -94,4 +98,31 @@ def ray_march(
         if white_back:
             channels = channels + (1.0 - weight_total)[..., None]
         out["channels"] = channels
+    if return_weights:
+        out["sample_weights"] = weights
     return out
+
+
+def composite_kp_weights(
+    sample_weights: jnp.ndarray,  # [..., M] ray-march compositing weights
+    agg_w: jnp.ndarray,           # [..., M, K] aggregation weights (masked)
+    nb_idx: jnp.ndarray,          # [..., M, K] keypoint index per pair
+    num_kp: int,
+) -> jnp.ndarray:
+    """Composite per-keypoint aggregation weights along each ray
+    (reference renderer.py:177-184): for every ray, keypoint p receives
+    sum over samples m and neighbor slots j with nb_idx[m, j] == p of
+    sample_weights[m] * agg_w[m, j]. The reference runs this as a sparse
+    index_add_ over (shading_idx, kp_idx, weights) triples; here the pairs
+    are dense [M, K] and the scatter-add is batched over rays. Returns
+    [..., num_kp]. Diagnostic path (point attribution), not jit-hot.
+    """
+    coeff = sample_weights[..., None] * agg_w  # [..., M, K]
+    lead = coeff.shape[:-2]
+    mk = coeff.shape[-2] * coeff.shape[-1]
+    coeff_f = coeff.reshape(-1, mk)
+    idx_f = nb_idx.reshape(-1, mk)
+    rows = jnp.arange(coeff_f.shape[0])[:, None]
+    out = jnp.zeros((coeff_f.shape[0], num_kp), coeff.dtype)
+    out = out.at[rows, idx_f].add(coeff_f)
+    return out.reshape(*lead, num_kp)

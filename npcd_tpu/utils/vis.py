@@ -268,6 +268,33 @@ def check_vis(arr) -> bool:
     return False
 
 
+def vis_kp_attribution(kp_weights, resolution: Optional[int] = None) -> np.ndarray:
+    """Visualize composited per-keypoint weights (PointNeRF.render
+    kp_weights=True output, one view: [R, P] or [H, W, P]).
+
+    Each pixel is colored by the keypoint that dominates its ray (turbo
+    colormap over keypoint index, a stable pseudo-random hue per point) and
+    scaled by the total composited weight, so background rays stay dark and
+    each surface region shows which neural point it is attributed to.
+    Returns [H, W, 3] float RGB in [0, 1]."""
+    w = _to_np(kp_weights)
+    if w.ndim == 2:
+        if resolution is None:
+            resolution = int(math.isqrt(w.shape[0]))
+            if resolution * resolution != w.shape[0]:
+                raise ValueError(
+                    f"cannot infer a square resolution from {w.shape[0]} rays; "
+                    "pass resolution="
+                )
+        w = w.reshape(resolution, resolution, -1)
+    num_kp = w.shape[-1]
+    top = np.argmax(w, axis=-1)  # [H, W]
+    total = np.clip(w.sum(axis=-1), 0.0, 1.0)  # [H, W]
+    # decorrelate adjacent keypoint ids so neighboring points get distinct hues
+    hue = ((top * 2654435761) % num_kp) / max(num_kp - 1, 1)
+    return _colormap(hue) * total[..., None]
+
+
 def tile_images(images: Sequence[np.ndarray], cols: Optional[int] = None) -> np.ndarray:
     """Stack a list of same-shaped [H, W, 3] arrays into one grid image."""
     images = [_to_np(im) for im in images]

@@ -66,6 +66,35 @@ def test_render_explicit_cloud(setup):
     assert np.isfinite(np.asarray(out["channels"])).all()
 
 
+def test_render_kp_weights_diagnostic(setup):
+    """kp_weights=True composites per-keypoint aggregation weights along
+    each ray (reference field.py:148-149 / renderer.py:177-184). Invariant:
+    aggregation weights are normalized per shading point, so summing the
+    composite over keypoints must reproduce the ray's total march weight
+    ('mask'). The vis hook must accept the per-view map."""
+    pn, params, extr, intr = setup
+    coords = jax.random.uniform(jax.random.PRNGKey(5), (1, 24, 3), minval=-0.4, maxval=0.4)
+    feats = jax.random.normal(jax.random.PRNGKey(6), (1, 24, 8)) * 0.1
+    out = pn.render(params, coords, feats, extr[:1], intr[:1], resolution=12,
+                    kp_weights=True)
+    kp_w = np.asarray(out["kp_weights"])
+    assert kp_w.shape == (1, 2, 144, 24)
+    assert (kp_w >= 0).all()
+    np.testing.assert_allclose(
+        kp_w.sum(-1), np.asarray(out["mask"])[..., 0], rtol=1e-4, atol=1e-5
+    )
+    # the baseline outputs are unchanged by the diagnostic
+    base = pn.render(params, coords, feats, extr[:1], intr[:1], resolution=12)
+    np.testing.assert_allclose(np.asarray(out["channels"]),
+                               np.asarray(base["channels"]), atol=1e-6)
+
+    from npcd_tpu.utils.vis import vis_kp_attribution
+
+    img = vis_kp_attribution(kp_w[0, 0])
+    assert img.shape == (12, 12, 3)
+    assert np.isfinite(img).all() and (img >= 0).all() and (img <= 1).all()
+
+
 def test_gradients_respect_frozen_coords(setup):
     pn, params, extr, intr = setup
 

@@ -11,6 +11,7 @@ from npcd_tpu.models.pointnerf.math_utils import (
 )
 from npcd_tpu.models.pointnerf.ray_sampler import generate_rays
 from npcd_tpu.models.pointnerf.renderer import (
+    composite_kp_weights,
     fix_shading_depths,
     ray_march,
     sample_depths,
@@ -134,6 +135,49 @@ def test_ray_march_two_semitransparent():
     )
     assert float(out["depth"][0]) == pytest.approx(
         (w1 * d1 + w2 * d2) / (w1 + w2), rel=1e-5
+    )
+
+
+def test_composite_kp_weights_oracle():
+    """Dense kp_weights compositing == the reference's sparse index_add_
+    formulation (renderer.py:177-184): composite[ray, p] = sum over valid
+    (sample, neighbor) pairs with kp_idx == p of
+    march_weight[sample] * agg_weight[pair], re-derived here in numpy from
+    the sparse triple (shading_idx, kp_idx, weights)."""
+    rng = np.random.default_rng(0)
+    R, M, K, P = 5, 6, 3, 11
+    sample_w = rng.uniform(size=(R, M)).astype(np.float32)
+    agg_w = rng.uniform(size=(R, M, K)).astype(np.float32)
+    nb_mask = rng.uniform(size=(R, M, K)) < 0.7
+    agg_w = agg_w * nb_mask  # masked pairs carry zero weight (aggregator contract)
+    nb_idx = rng.integers(0, P, size=(R, M, K))
+
+    # sparse reference formulation: flatten valid pairs into triples
+    expected = np.zeros((R, P), np.float32)
+    for r in range(R):
+        for m in range(M):
+            for k in range(K):
+                if nb_mask[r, m, k]:
+                    expected[r, nb_idx[r, m, k]] += sample_w[r, m] * agg_w[r, m, k]
+
+    got = composite_kp_weights(
+        jnp.asarray(sample_w), jnp.asarray(agg_w), jnp.asarray(nb_idx), P
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_ray_march_sample_weights_partition():
+    """return_weights exposes the per-sample compositing weights; they must
+    reproduce mask (their sum) and channels (their contraction with rgb)."""
+    sigma = jnp.asarray([[0.5, 2.0, 0.1, 0.0]])
+    depths = jnp.asarray([[1.0, 1.2, 1.7, 2.0]])
+    rgb = jax.random.uniform(jax.random.PRNGKey(0), (1, 4, 3))
+    out = ray_march(sigma, depths, rgb, white_back=False, return_weights=True)
+    w = np.asarray(out["sample_weights"])
+    np.testing.assert_allclose(w.sum(-1), np.asarray(out["mask"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        (w[..., None] * np.asarray(rgb)).sum(-2), np.asarray(out["channels"]),
+        rtol=1e-6,
     )
 
 
