@@ -1,0 +1,402 @@
+#!/usr/bin/env python
+"""N-step training-dynamics comparison: the REAL reference training classes
+(torch CPU, /root/reference) vs npcd_tpu, on identical data with
+converter-matched initialization.
+
+The deterministic paths are pinned exactly by tests/test_reference_oracle.py;
+what remains unprovable there is the stochastic training loop (ray/timestep/
+noise draws come from different RNGs in torch vs JAX). This tool runs both
+frameworks' training for N steps and compares EMA-smoothed loss trajectories
+within a band — the methodology of tools/budget_qualify.py.
+
+Stage 1 drives the reference's own PointNeRFTraining (real class, real
+PointNeRFLoss, real Adam loop, pointnerf_training.py:130-147) with a loss
+recorder wrapped around the real loss module; stage 2 drives the reference
+DiffusionTraining (diffusion_training.py:143-174) with compute_loss wrapped.
+The npcd_tpu side runs the same jitted steps its Training classes use.
+
+Usage:
+  python tools/ref_dynamics.py --stage both --steps 300 \
+      --out docs/experiments/ref_dynamics.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ema_smooth(xs, span=20):
+    xs = np.asarray(xs, np.float64)
+    alpha = 2.0 / (span + 1.0)
+    out = np.empty_like(xs)
+    acc = xs[0]
+    for i, x in enumerate(xs):
+        acc = alpha * x + (1 - alpha) * acc
+        out[i] = acc
+    return out
+
+
+def band_stats(ref_losses, tpu_losses, span=20, tail_frac=0.5):
+    """Relative deviation of EMA-smoothed curves over the trailing window."""
+    n = min(len(ref_losses), len(tpu_losses))
+    r = ema_smooth(ref_losses[:n], span)
+    t = ema_smooth(tpu_losses[:n], span)
+    lo = int(n * (1 - tail_frac))
+    rel = np.abs(t[lo:] - r[lo:]) / np.maximum(np.abs(r[lo:]), 1e-12)
+    return {
+        "steps": int(n),
+        "tail_rel_dev_mean": float(rel.mean()),
+        "tail_rel_dev_max": float(rel.max()),
+        "ref_final_smoothed": float(r[-1]),
+        "tpu_final_smoothed": float(t[-1]),
+        "ref_first_smoothed": float(r[0]),
+        "tpu_first_smoothed": float(t[0]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# stage 1
+# ---------------------------------------------------------------------------
+
+
+def run_stage1(steps: int, seed: int = 0):
+    import torch
+
+    from tools.ref_oracle.harness import (
+        TinyGeometry, build_ref_pointnerf, tpu_pointnerf_from_ref,
+    )
+    from tools.ref_oracle.shims import import_reference
+
+    import_reference()
+    from npcd.data.dataset import Dataset as RefDataset, Sample as RefSample
+    from npcd.losses import PointNeRFLoss as RefPointNeRFLoss
+    from npcd.train.pointnerf_training import (
+        PointNeRFTraining as RefPointNeRFTraining,
+    )
+
+    geom = TinyGeometry(resolution=16)
+    n_views = 2
+
+    # ---- shared data (one numpy source feeds both frameworks) ----------
+    from npcd_tpu.data import create_dataset
+
+    ds = create_dataset(
+        "SyntheticNPCTrain", n_obj=geom.n_obj, num_views=n_views,
+        image_size=geom.resolution, num_points=geom.num_points, seed=seed,
+        verbose=False,
+    )
+
+    class StaticSample(RefSample):
+        def __init__(self, d):
+            self.d = d
+
+        def load(self, root):
+            return self.d
+
+    class RefSynthetic(RefDataset):
+        """Serves the SAME numpy arrays in the reference sample format
+        (images [V, 3, H, W]; the npcd_tpu loader uses [V, H*W, 3])."""
+
+        def _init_samples(self):
+            res = geom.resolution
+            for s in ds.samples:
+                img = np.asarray(s["images"], np.float32)
+                self.samples.append(StaticSample({
+                    "obj_idx": np.int64(s["obj_idx"]),
+                    "images": img.reshape(n_views, res, res, 3)
+                              .transpose(0, 3, 1, 2).copy(),
+                    "intrinsics": np.asarray(s["intrinsics"], np.float32),
+                    "extrinsics": np.asarray(s["extrinsics"], np.float32),
+                }))
+
+        def get_all_coords(self):
+            return torch.from_numpy(np.asarray(ds.get_all_coords(), np.float32))
+
+    ref_ds = RefSynthetic(root=None, verbose=False)
+
+    # ---- matched models -------------------------------------------------
+    pn_ref = build_ref_pointnerf(geom, seed=seed)
+    pn, params = tpu_pointnerf_from_ref(pn_ref, geom)
+
+    class RefModelWrapper(torch.nn.Module):
+        """What the reference NPCD facade provides to PointNeRFTraining."""
+
+        def __init__(self, pointnerf):
+            super().__init__()
+            self.pointnerf = pointnerf
+
+    wrapper = RefModelWrapper(pn_ref)
+
+    ref_losses = []
+
+    class LossRecorder(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, **kw):
+            loss, sub, pw = self.inner(**kw)
+            ref_losses.append(float(loss.detach()))
+            return loss, sub, pw
+
+    lw = (1.0, 1e-7, 3.5e-7)  # reference train_pointnerf.py:56-59
+    loss = LossRecorder(RefPointNeRFLoss(
+        model=wrapper, image_reconstruction_loss_weight=lw[0],
+        neural_point_cloud_kl_loss_weight=lw[1],
+        neural_point_cloud_tv_loss_weight=lw[2], verbose=False,
+    ))
+
+    lr = 1e-3  # reference configs/npcd_srncars.yaml pointnerf_training
+    torch.manual_seed(seed + 100)
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as tmp:
+        training = RefPointNeRFTraining(
+            out_dir=tmp, model=wrapper, dataset=ref_ds, loss=loss,
+            batch_size=geom.n_obj,  # full-dataset batches: order-invariant
+            base_learning_rate=lr, max_epochs=steps, num_workers=0,
+            print_interval=max(1, steps // 4), log_loss_interval=10**9,
+            log_interval=10**9, save_checkpoint_interval_min=10**9,
+            verbose=False,
+        )
+        # log_interval fires at iteration 0 (0 % N == 0); _log_pred re-renders
+        # one view for TB images, which is irrelevant to loss dynamics.
+        training._log_all = lambda *a, **k: None
+        training()
+    ref_sec = time.time() - t0
+
+    # ---- npcd_tpu side: the same jitted step PointNeRFTraining uses ----
+    import jax
+    import jax.numpy as jnp
+
+    from npcd_tpu.losses import PointNeRFLossWeights
+    from npcd_tpu.train.pointnerf_training import (
+        PointNeRFTrainState, make_pointnerf_optimizer, make_pointnerf_train_step,
+    )
+
+    params = pn.set_all_coords(params, ds.get_all_coords())
+    tx = make_pointnerf_optimizer(lr)
+    state = PointNeRFTrainState(
+        params=params, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step_fn = make_pointnerf_train_step(pn, tx, PointNeRFLossWeights(*lw))
+
+    batch = {
+        "obj_idx": jnp.arange(geom.n_obj),
+        "images": jnp.asarray(np.stack([s["images"] for s in ds.samples])),
+        "intrinsics": jnp.asarray(np.stack([s["intrinsics"] for s in ds.samples])),
+        "extrinsics": jnp.asarray(np.stack([s["extrinsics"] for s in ds.samples])),
+    }
+    rng = jax.random.PRNGKey(seed + 200)
+    tpu_losses = []
+    t0 = time.time()
+    for it in range(steps):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, it))
+        tpu_losses.append(float(metrics["loss"]))
+    tpu_sec = time.time() - t0
+
+    stats = band_stats(ref_losses, tpu_losses)
+    return {
+        "geometry": vars(geom) if not hasattr(geom, "__dataclass_fields__")
+        else {f: getattr(geom, f) for f in geom.__dataclass_fields__},
+        "lr": lr, "loss_weights": lw,
+        "ref_losses": ref_losses, "tpu_losses": tpu_losses,
+        "ref_sec": ref_sec, "tpu_sec": tpu_sec,
+        **stats,
+    }
+
+
+# ---------------------------------------------------------------------------
+# stage 2
+# ---------------------------------------------------------------------------
+
+
+def run_stage2(steps: int, seed: int = 0, n_obj: int = 8):
+    import torch
+
+    from tools.ref_oracle.harness import build_ref_diffusion, tpu_diffusion_from_ref
+    from tools.ref_oracle.shims import import_reference
+
+    import_reference()
+    from npcd.train.diffusion_training import (
+        DiffusionTraining as RefDiffusionTraining,
+    )
+
+    ref_dm = build_ref_diffusion(seed=seed)
+    dm, dstate = tpu_diffusion_from_ref(ref_dm, qkv_groups=1)
+
+    rng_np = np.random.default_rng(seed + 1)
+    all_coords = rng_np.normal(size=(n_obj, 3, ref_dm.num_points)).astype(np.float32)
+    all_feats = (rng_np.normal(size=(n_obj, ref_dm.feats_dim, ref_dm.num_points))
+                 .astype(np.float32))
+
+    class RefLatentDataset(torch.utils.data.Dataset):
+        name = "RefLatentDataset"
+
+        def __len__(self):
+            return n_obj
+
+        def __getitem__(self, i):
+            return {"coords": all_coords[i], "feats": all_feats[i]}
+
+        def get_loader(self, batch_size, shuffle, pin_memory, num_workers,
+                       drop_last):
+            return torch.utils.data.DataLoader(
+                self, batch_size=batch_size, shuffle=shuffle,
+                pin_memory=pin_memory, num_workers=num_workers,
+                drop_last=drop_last,
+            )
+
+        def get_all_coords(self):
+            return np.concatenate(list(all_coords), axis=-1)
+
+        def get_all_feats(self):
+            return np.concatenate(list(all_feats), axis=-1)
+
+    class RefModelWrapper(torch.nn.Module):
+        def __init__(self, diffusion):
+            super().__init__()
+            self.diffusion = diffusion
+
+    wrapper = RefModelWrapper(ref_dm)
+    ref_losses = []
+    orig_compute_loss = ref_dm.compute_loss
+
+    def recording_compute_loss(coords, feats):
+        loss, sub, pw = orig_compute_loss(coords=coords, feats=feats)
+        ref_losses.append(float(loss.detach()))
+        return loss, sub, pw
+
+    ref_dm.compute_loss = recording_compute_loss
+
+    lr, wd = 7e-5, 0.01  # reference configs/npcd_srncars.yaml diffusion_training
+    torch.manual_seed(seed + 100)
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as tmp:
+        training = RefDiffusionTraining(
+            out_dir=tmp, model=wrapper, dataset=RefLatentDataset(),
+            batch_size=n_obj, base_learning_rate=lr, weight_decay=wd,
+            max_iterations=steps, use_ema=True,
+            ema_params=[(1, 0.9999, 0.9999, False)], dtype="float32",
+            num_workers=0, print_interval=max(1, steps // 4),
+            log_scalars_interval=10**9, log_interval=10**9,
+            save_checkpoint_interval_min=10**9, verbose=False,
+        )
+        training()
+    ref_sec = time.time() - t0
+
+    # ---- npcd_tpu side: the same jitted step DiffusionTraining uses ----
+    import jax
+    import jax.numpy as jnp
+
+    from npcd_tpu.train.diffusion_training import (
+        DiffusionTrainState, make_diffusion_train_step,
+    )
+    from npcd_tpu.train.fused_update import FusedAdamWEma
+    from npcd_tpu.utils.ema import EmaConfig
+
+    dstate = dm.fit_normalizers(
+        dstate, np.concatenate(list(all_coords), axis=-1),
+        np.concatenate(list(all_feats), axis=-1),
+    )
+    ema_cfgs = (EmaConfig.from_tuple((1, 0.9999, 0.9999, False)),)
+    fused = FusedAdamWEma(learning_rate=lr, weight_decay=wd, clip_max_norm=None,
+                          ema_cfgs=ema_cfgs)
+    tx = fused.make_tx()
+    state = DiffusionTrainState(
+        params=dstate.params, opt_state=tx.init(dstate.params),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, dstate.params),),
+        step=jnp.zeros((), jnp.int32),
+        coords_norm=dstate.coords_norm, feats_norm=dstate.feats_norm,
+    )
+    step_fn = make_diffusion_train_step(dm, fused, ema_cfgs)
+    batch = {"coords": jnp.asarray(all_coords), "feats": jnp.asarray(all_feats)}
+    rng = jax.random.PRNGKey(seed + 200)
+    tpu_losses = []
+    t0 = time.time()
+    for it in range(steps):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, it))
+        tpu_losses.append(float(metrics["loss"]))
+    tpu_sec = time.time() - t0
+
+    stats = band_stats(ref_losses, tpu_losses)
+    return {
+        "model": {"width": 32, "layers": 2, "heads": 2,
+                  "num_points": ref_dm.num_points,
+                  "feats_dim": ref_dm.feats_dim},
+        "lr": lr, "weight_decay": wd, "n_obj": n_obj,
+        "ref_losses": ref_losses, "tpu_losses": tpu_losses,
+        "ref_sec": ref_sec, "tpu_sec": tpu_sec,
+        **stats,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", choices=["1", "2", "both"], default="both")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-seeds", type=int, default=1,
+                   help="Run seeds seed..seed+N-1 and report per-seed stats "
+                        "(separates cross-framework gap from RNG noise band)")
+    p.add_argument("--out", default="docs/experiments/ref_dynamics.json")
+    p.add_argument("--platform", default="cpu",
+                   help="JAX platform (cpu: reference torch runs on CPU "
+                        "anyway, keep both sides on the same arithmetic)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    out = {"steps": args.steps, "seed": args.seed,
+           "num_seeds": args.num_seeds}
+    seeds = list(range(args.seed, args.seed + args.num_seeds))
+    for stage, runner in (("stage1", run_stage1), ("stage2", run_stage2)):
+        if args.stage not in (stage[-1], "both"):
+            continue
+        print(f"== {stage}: reference training vs npcd_tpu ==")
+        runs = []
+        for sd in seeds:
+            r = runner(args.steps, sd)
+            runs.append(r)
+            print(f"{stage} seed {sd}: tail EMA rel dev mean "
+                  f"{r['tail_rel_dev_mean']:.4f} max {r['tail_rel_dev_max']:.4f} "
+                  f"(ref {r['ref_final_smoothed']:.5f} vs "
+                  f"tpu {r['tpu_final_smoothed']:.5f})")
+        out[stage] = runs[0] if len(runs) == 1 else {"per_seed": runs}
+        if len(runs) > 1:
+            refs = np.array([r["ref_final_smoothed"] for r in runs])
+            tpus = np.array([r["tpu_final_smoothed"] for r in runs])
+            out[stage]["summary"] = {
+                "ref_final_mean": float(refs.mean()),
+                "ref_final_std": float(refs.std(ddof=1)),
+                "tpu_final_mean": float(tpus.mean()),
+                "tpu_final_std": float(tpus.std(ddof=1)),
+                "gap_over_ref_std": float(
+                    abs(tpus.mean() - refs.mean())
+                    / max(refs.std(ddof=1), 1e-12)),
+            }
+            s = out[stage]["summary"]
+            print(f"{stage} summary: ref {s['ref_final_mean']:.5f}"
+                  f"±{s['ref_final_std']:.5f} vs tpu {s['tpu_final_mean']:.5f}"
+                  f"±{s['tpu_final_std']:.5f} "
+                  f"(gap = {s['gap_over_ref_std']:.2f}x ref std)")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -96,8 +96,46 @@ def install_shims() -> None:
         _module("wandb", init=noop, log=noop, finish=noop, run=None,
                 Image=lambda *a, **k: None, config={})
     if "skimage" not in sys.modules:
+        import numpy as _np
+
+        def _psnr(image_true, image_test, data_range=1):
+            # numpy stand-in for skimage.metrics.peak_signal_noise_ratio
+            err = _np.mean(
+                (_np.asarray(image_true, _np.float64)
+                 - _np.asarray(image_test, _np.float64)) ** 2)
+            return 10.0 * _np.log10((float(data_range) ** 2) / err)
+
         sk = _module("skimage")
         sk.transform = _module("skimage.transform", resize=None)
+        sk.metrics = _module("skimage.metrics",
+                             peak_signal_noise_ratio=_psnr)
+    if "torchvision" not in sys.modules:
+        import numpy as _np
+        import torch as _torch
+
+        def _to_tensor(pic):
+            # numpy/PIL [H, W, C] uint8/float -> float CHW in [0, 1]
+            # (the one torchvision op srn.py:132 uses)
+            arr = _np.asarray(pic)
+            if arr.dtype == _np.uint8:
+                arr = arr.astype(_np.float32) / 255.0
+            return _torch.from_numpy(arr.astype(_np.float32)).permute(2, 0, 1)
+
+        tv = _module("torchvision")
+        tv.transforms = _module("torchvision.transforms")
+        tv.transforms.functional = _module(
+            "torchvision.transforms.functional", to_tensor=_to_tensor)
+    if "pytoml" not in sys.modules:
+        import tomllib as _tomllib
+
+        def _pytoml_load(f):
+            # pytoml.load takes a text file object; tomllib wants bytes
+            data = f.read()
+            if isinstance(data, str):
+                data = data.encode()
+            return _tomllib.loads(data.decode())
+
+        _module("pytoml", load=_pytoml_load)
     if "mmcv" not in sys.modules:
         _module("mmcv")
     if "mmgen" not in sys.modules:
