@@ -25,7 +25,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.knn import dense_knn
+from ...ops.knn import dense_knn, dense_knn_batched
 from ...utils.config import AggregatorOptions
 from .nn_core import apply_mlp, positional_encoding
 
@@ -95,9 +95,9 @@ def knn_neighbors(
     Separated from aggregate_features so the training path can run it once
     outside the rematerialized chunk (the indices are a small s32 tensor;
     recomputing the kNN kernel in the backward pass is pure waste)."""
-    idx, nb_mask = jax.vmap(
-        lambda x, p: dense_knn(x, p, k, radius)
-    )(shading_pts, jax.lax.stop_gradient(kp_pos))  # [B, N, k] each
+    idx, nb_mask = dense_knn_batched(
+        shading_pts, jax.lax.stop_gradient(kp_pos), k, radius
+    )  # [B, N, k] each
     return idx, nb_mask & pts_mask[..., None]
 
 

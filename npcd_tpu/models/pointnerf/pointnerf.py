@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.knn import VoxelOccupancy, within_radius
+from ...ops.knn import VoxelOccupancy, within_radius, within_radius_t
 from ...utils.config import PointNeRFOptions, pointnerf_default_options
 from . import embeddings
 from .aggregator import aggregate_features, compact_valid_samples, knn_neighbors
@@ -181,15 +181,24 @@ class PointNeRF:
             disparity=o.renderer.disparity_space_sampling,
         )  # [I, R, S]
 
-        x = rays_o[:, :, None, :] + depths[..., None] * rays_d[:, :, None, :]
         if self.cfg.validity == "voxel":
+            x = rays_o[:, :, None, :] + depths[..., None] * rays_d[:, :, None, :]
             valid = occ.query(x.reshape(i_dim, -1, 3)).reshape(depths.shape)
         else:
-            # nearest-neighbor-in-radius validity via the lane-compact
-            # min-distance kernel: cheaper than the occupancy scatter+gather
-            # on TPU and exactly the reference fallback's semantic
-            valid = within_radius(
-                x.reshape(i_dim, -1, 3), jax.lax.stop_gradient(kp_pos),
+            # nearest-neighbor-in-radius validity via the transposed
+            # min-distance kernel: cheaper than the occupancy
+            # scatter+gather on TPU and exactly the reference fallback's
+            # semantic. Samples are assembled directly in the kernel's
+            # [I, 3, R*S] coords-on-sublanes layout — a [I, R*S, 3] array's
+            # 3-lane minor dim tiles to 128 lanes in HBM (~16x physical),
+            # which cost 9 ms pad + 8.9 ms producer per step in the r03
+            # trace.
+            xt = (jnp.swapaxes(rays_o, 1, 2)[:, :, :, None]
+                  + depths[:, None, :, :]
+                  * jnp.swapaxes(rays_d, 1, 2)[:, :, :, None]
+                  )  # [I, 3, R, S]
+            valid = within_radius_t(
+                xt.reshape(i_dim, 3, -1), jax.lax.stop_gradient(kp_pos),
                 o.knn_radius,
             ).reshape(depths.shape)
         depths_c, pts_mask = compact_valid_samples(valid, depths, m)  # [I, R, M]

@@ -80,6 +80,38 @@ def dense_knn(
     return idx.astype(jnp.int32), mask
 
 
+def dense_knn_batched(
+    x: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    radius: float,
+    impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched dense_knn: x [B, N, 3], points [B, P, 3] ->
+    (idx [B, N, k], mask [B, N, k]).
+
+    On TPU this runs the natively-batched transposed Pallas kernel
+    (pallas_knn_t) — one kernel launch, points on sublanes, queries on
+    lanes — instead of a vmap of the per-object path."""
+    x = jax.lax.stop_gradient(x)
+    points = jax.lax.stop_gradient(points)
+    if impl == "auto":
+        impl = "pallas" if (
+            jax.default_backend() == "tpu"
+            and points.ndim == 3 and points.shape[1] >= k
+        ) else "xla"
+    if impl == "pallas":
+        from .pallas.knn import pallas_knn_t
+
+        idx, d2 = pallas_knn_t(jnp.swapaxes(x, 1, 2), points, k)
+        return (jnp.swapaxes(idx, 1, 2),
+                jnp.swapaxes(d2, 1, 2) < radius * radius)
+    idx, mask = jax.vmap(
+        lambda a, b: dense_knn(a, b, k, radius, impl="xla")
+    )(x, points)
+    return idx, mask
+
+
 def within_radius(
     x: jnp.ndarray, points: jnp.ndarray, radius: float, impl: str = "auto"
 ) -> jnp.ndarray:
@@ -109,6 +141,30 @@ def within_radius(
     )
     d2 = x2 - 2.0 * xp + p2[..., None, :]
     return jnp.min(d2, axis=-1) < radius * radius
+
+
+def within_radius_t(
+    xt: jnp.ndarray, points: jnp.ndarray, radius: float, impl: str = "auto"
+) -> jnp.ndarray:
+    """within_radius with transposed queries: xt [B, 3, N] (coords on
+    sublanes), points [B, P, 3] -> [B, N] bool.
+
+    The preferred entry on TPU: callers that assemble query positions from
+    rays can produce the [B, 3, N] layout directly (compact N-minor HBM
+    image) instead of materializing a [B, N, 3] array whose 3-lane minor
+    dim tiles to 128 lanes (~16x physical inflation; r03 trace: 9 ms pad +
+    8.9 ms producer per stage-1 step)."""
+    xt = jax.lax.stop_gradient(xt)
+    points = jax.lax.stop_gradient(points)
+    if impl == "auto":
+        impl = "pallas" if (
+            jax.default_backend() == "tpu" and points.ndim == 3 and xt.ndim == 3
+        ) else "xla"
+    if impl == "pallas":
+        from .pallas.knn import pallas_min_d2_t
+
+        return pallas_min_d2_t(xt, points) < radius * radius
+    return within_radius(jnp.swapaxes(xt, 1, 2), points, radius, impl="xla")
 
 
 class VoxelOccupancy(NamedTuple):

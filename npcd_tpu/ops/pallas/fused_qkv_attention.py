@@ -116,19 +116,62 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
     xq = q_ref[...]  # [S, hpb*D], storage dtype
     xk = k_ref[...]
     xv = v_ref[...]
-    mask_bias = _mask_bias(xq.shape[0], valid_len)
+    s = xq.shape[0]
+    mask_bias = _mask_bias(s, valid_len)
     c2 = jnp.asarray(sm_scale * _LOG2_E, xq.dtype)
+
+    # Two scheduling changes over the naive per-head loop, A/B'd on v5e at
+    # the flagship geometry (tools/attn_ab.py: 615 -> 503 us/call, -18%):
+    #
+    # 1. Row-sum in the PV dot. The PV dot's output width D < 128 leaves
+    #    MXU lanes idle, so widening V to a 128-column group
+    #    [v_h | ones | zeros] is wall-clock free and its 'ones' column
+    #    emits l = sum(e) — the separate [S, S] VPU reduce pass disappears
+    #    (e is also cast bf16 inside the exp2 chain, one pass total).
+    #    l then sums bf16-rounded e terms with f32 accumulation: outputs
+    #    move by <= 1 bf16 ulp vs the f32 row-sum, and the lse residual is
+    #    computed from the same l, so the backward's rebuilt p stays
+    #    consistent with the forward normalization. Only taken when D pads
+    #    to 128 for free (aug_cols == one extra lane group); D % 128 == 0
+    #    keeps the plain f32 row-sum.
+    # 2. Head software-pipelining: head h+1's QK^T is issued before head
+    #    h's softmax/PV so Mosaic can overlap the MXU dot with the VPU
+    #    softmax passes (heads are independent).
+    use_sumdot = d % 128 != 0  # ones column rides the existing lane pad
+    aug_cols = d + ((-d) % 128)  # = round_up(d, 128) when use_sumdot
+    if use_sumdot:
+        ones = jnp.ones((s, 1), xv.dtype)
+        zeros = jnp.zeros((s, aug_cols - d - 1), xv.dtype)
+        vaug = jnp.concatenate(
+            [jnp.concatenate([xv[:, h * d:(h + 1) * d], ones, zeros], axis=1)
+             for h in range(hpb)], axis=1)
+
+    def logits_h(h):
+        sl = slice(h * d, (h + 1) * d)
+        return _logits(xq[:, sl] * c2, xk[:, sl], mask_bias)
+
+    lg = logits_h(0)
     for h in range(hpb):
         sl = slice(h * d, (h + 1) * d)
-        logits = _logits(xq[:, sl] * c2, xk[:, sl], mask_bias)
+        logits = lg
+        lg = logits_h(h + 1) if h + 1 < hpb else None
         m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp2(logits - m)
-        l = jnp.sum(e, axis=-1, keepdims=True)
-        # normalize the small [S, D] output instead of the [S, S] weight
-        # matrix (saves a full S x S elementwise pass), casting e to the IO
-        # dtype for the PV matmul — same precision semantics as the einsum
-        # fallback's weights.astype(q.dtype); accumulation stays f32
-        o = jnp.dot(e.astype(xv.dtype), xv[:, sl], preferred_element_type=jnp.float32)
+        if use_sumdot:
+            e = jnp.exp2(logits - m).astype(xv.dtype)
+            ol = jnp.dot(e, vaug[:, h * aug_cols:(h + 1) * aug_cols],
+                         preferred_element_type=jnp.float32)  # [S, aug]
+            l = ol[:, d:d + 1]
+            o = ol[:, :d]
+        else:
+            e = jnp.exp2(logits - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            # normalize the small [S, D] output instead of the [S, S]
+            # weight matrix (saves a full S x S elementwise pass), casting
+            # e to the IO dtype for the PV matmul — same precision
+            # semantics as the einsum fallback's weights.astype(q.dtype);
+            # accumulation stays f32
+            o = jnp.dot(e.astype(xv.dtype), xv[:, sl],
+                        preferred_element_type=jnp.float32)
         o_ref[:, sl] = (o / l).astype(o_ref.dtype)
         # base-2 log-sum-exp residual ([S, 1] per head, heads on lanes) lets
         # the backward rebuild p = exp2(logits2 - lse2), no max/sum/divide

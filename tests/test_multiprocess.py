@@ -103,8 +103,12 @@ def test_two_process_diffusion_training(tmp_path):
     assert np.isfinite(sums[0])
 
     # the collective orbax save produced exactly one shared checkpoint tree
-    ckpts = [
+    # (plus its qkv-layout-version sidecar, utils/checkpoint._LAYOUT_SUFFIX)
+    ckpts = sorted(
         d for d in os.listdir(tmp_path / "checkpoints")
         if d.startswith("diffusion_training-iter-")
-    ]
-    assert ckpts == ["diffusion_training-iter-000000004"], ckpts
+    )
+    assert ckpts == [
+        "diffusion_training-iter-000000004",
+        "diffusion_training-iter-000000004.layout.json",
+    ], ckpts

@@ -49,8 +49,13 @@ results = {}
 for rows in ["0", "128", "256", "640", "832"]:
     os.environ["NPCD_LN_ROWS"] = rows
     gl = ln_mod._grid_layout(N, S)
-    tf = device_time(f"lnres_fwd_r{rows}", fwd, (x, d, g, b), iters=20)
-    tb = device_time(f"lnres_fwdbwd_r{rows}", fwdbwd, (x, d, g, b), iters=20)
+    try:
+        tf = device_time(f"lnres_fwd_r{rows}", fwd, (x, d, g, b), iters=20)
+        tb = device_time(f"lnres_fwdbwd_r{rows}", fwdbwd, (x, d, g, b), iters=20)
+    except Exception as e:  # e.g. scoped-VMEM OOM at large row blocks
+        print(f"rows={rows:>4} grid={gl}  FAILED: {str(e).splitlines()[0][:100]}",
+              flush=True)
+        continue
     results[rows] = (tf, tb)
     print(f"rows={rows:>4} grid={gl}  fwd {tf*1e6:8.1f} us   fwd+bwd {tb*1e6:8.1f} us",
           flush=True)
