@@ -83,6 +83,34 @@ def _gather_rows_bwd(res, g):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@jax.custom_vjp
+def gather_cols(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Transposed gather: table_t [B, C, P], idx [B, M] int -> [B, C, M].
+
+    The column analogue of gather_rows for the compact channels-on-sublanes
+    layout consumed by the posenc-fused aggregation kernel: the output's
+    minor dim is M (dense in HBM), where a row-major [B, M, C<128] gather
+    output tiles its minor dim to 128 lanes (4-16x physical inflation).
+    Same one-hot-MXU formulation, same s32-only residuals."""
+    onehot = jax.nn.one_hot(idx, table_t.shape[-1], dtype=table_t.dtype)
+    return jnp.einsum("bcp,bmp->bcm", table_t, onehot)
+
+
+def _gather_cols_fwd(table_t, idx):
+    token = jnp.zeros((table_t.shape[-1], 0), table_t.dtype)
+    return gather_cols(table_t, idx), (idx, token)
+
+
+def _gather_cols_bwd(res, g):
+    idx, token = res
+    onehot = jax.nn.one_hot(idx, token.shape[0], dtype=token.dtype)
+    dtable_t = jnp.einsum("bcm,bmp->bcp", g.astype(token.dtype), onehot)
+    return dtable_t, None
+
+
+gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
+
+
 def knn_neighbors(
     shading_pts: jnp.ndarray,
     pts_mask: jnp.ndarray,
@@ -112,6 +140,7 @@ def aggregate_features(
     compute_dtype: Any = jnp.float32,
     neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     return_weights: bool = False,
+    impl: str = "auto",
 ):
     """Per-shading-point aggregated features.
 
@@ -138,6 +167,24 @@ def aggregate_features(
     if neighbors is None:
         neighbors = knn_neighbors(shading_pts, pts_mask, kp_pos, opts.k, radius)
     idx, nb_mask = neighbors  # [B, N, k] each
+
+    if impl == "auto":
+        rows = shading_pts.shape[0] * shading_pts.shape[1] * opts.k
+        impl = (
+            "posenc_fused"
+            if (
+                jax.default_backend() == "tpu"
+                and opts.activation == "leaky_relu"
+                and compute_dtype == jnp.bfloat16
+                and kp_feat.shape[-1] % 8 == 0
+                and rows >= 4096
+            )
+            else "xla"
+        )
+    if impl == "posenc_fused":
+        return _aggregate_posenc_fused(
+            params, opts, shading_pts, pts_mask, kp_pos, kp_feat,
+            compute_dtype, idx, nb_mask, return_weights)
 
     # Neighbor gather as one-hot MXU matmuls: row-gathers of 3/F-wide rows
     # run on the scalar core at ~60 cycles/row (measured 350 ms/step at the
@@ -173,6 +220,58 @@ def aggregate_features(
     feat = jnp.einsum(
         "bnk,bnkc->bnc", w.astype(local_feat.dtype), local_feat
     )
+    valid_pt = pts_mask & jnp.any(nb_mask, axis=-1)
+    if return_weights:
+        return feat, valid_pt, w, idx
+    return feat, valid_pt
+
+
+def _aggregate_posenc_fused(
+    params, opts, shading_pts, pts_mask, kp_pos, kp_feat,
+    compute_dtype, idx, nb_mask, return_weights,
+):
+    """TPU production path of aggregate_features: transposed gathers feed
+    the posenc-fused MLP kernel (ops/pallas/fused_mlp.py fused_mlp_posenc).
+
+    Same math as the XLA path — gathers are one-hot MXU matmuls, x_rel and
+    the distance weights are f32, enc is computed from f32 x_rel — but the
+    concat([feat, x_rel, posenc]) layer-1 input and the sin/cos octaves
+    never touch HBM (r03b trace: 8.3 ms pad+concat + 5.8 ms posenc +
+    ~6 ms x_rel assembly per step at the SRN geometry), and every
+    intermediate travels channels-on-sublanes so nothing tiles a <128
+    minor dim to 128 lanes."""
+    from ...ops.pallas.fused_mlp import fused_mlp_posenc
+
+    b_dim, n_dim, k_dim = idx.shape
+    m_flat = n_dim * k_dim
+    idx_flat = idx.reshape(b_dim, m_flat)
+
+    kp_pos_t = jnp.swapaxes(kp_pos, 1, 2)  # [B, 3, P] (already detached)
+    kp_feat_t = jnp.swapaxes(kp_feat.astype(compute_dtype), 1, 2)  # [B, F, P]
+    nb_pos_t = gather_cols(kp_pos_t, idx_flat)  # [B, 3, M] f32
+    feat_t = gather_cols(kp_feat_t, idx_flat)  # [B, F, M]
+
+    x_t = jnp.swapaxes(shading_pts, 1, 2)  # [B, 3, N]
+    x_rel_t = (x_t[:, :, :, None] - nb_pos_t.reshape(b_dim, 3, n_dim, k_dim)
+               ).reshape(b_dim, 3, m_flat)  # [B, 3, M] f32
+
+    dist = jnp.sqrt(jnp.sum(x_rel_t * x_rel_t, axis=1)
+                    ).reshape(b_dim, n_dim, k_dim)
+    w = (1.0 / (dist + 1e-5)) * nb_mask.astype(dist.dtype)
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.where(w_sum > 0, w / w_sum, 0.0)
+
+    pos_t = jnp.pad(x_rel_t, ((0, 0), (0, 5), (0, 0)))  # [B, 8, M]
+    weights = tuple(
+        (l["w"].astype(compute_dtype), l["b"].astype(compute_dtype))
+        for l in params["local_field"]
+    )
+    local_feat = fused_mlp_posenc(
+        feat_t, pos_t, weights, opts.n_freqs, opts.freq_mult,
+        True, opts.posenc_method,
+    ).reshape(b_dim, n_dim, k_dim, -1)
+
+    feat = jnp.einsum("bnk,bnkc->bnc", w.astype(local_feat.dtype), local_feat)
     valid_pt = pts_mask & jnp.any(nb_mask, axis=-1)
     if return_weights:
         return feat, valid_pt, w, idx

@@ -130,22 +130,35 @@ def positional_encoding(
     method='recurrence' evaluates only sin/cos of the base frequency and
     derives the octaves with the exact double-angle identities
     (s' = 2sc, c' = 2c^2 - 1) — 2 transcendentals per input element instead
-    of 2*n_freqs, a large VPU saving in the aggregation hot loop. Deviation
-    from direct evaluation is at the f32 rounding level (~1e-5 after 10
-    doublings). method='direct' matches the reference op-for-op.
+    of 2*n_freqs, a large VPU saving in the aggregation hot loop, but the
+    phase error doubles per octave (up to ~7e-3 at octave 9).
+    method='anchored' re-anchors the recurrence with direct sin/cos every
+    5 octaves: 4 transcendentals per element, error compounds over at most
+    4 doublings (measured max |dev| from 'direct' < 5e-6 — below one bf16
+    ulp, so bf16-compute paths see reference-exact inputs;
+    tests/test_fused_mlp.py pins the bound). method='direct' matches the
+    reference op-for-op.
     """
     if method == "direct":
         freq_bands = freq_mult * (2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)) * jnp.pi
         spectrum = x[..., None] * freq_bands  # [..., d, n]
         enc = jnp.concatenate([jnp.sin(spectrum), jnp.cos(spectrum)], axis=-1)
     else:
-        base = (freq_mult * jnp.pi) * x.astype(jnp.float32)
-        s, c = jnp.sin(base), jnp.cos(base)
-        sins, coss = [s], [c]
-        for _ in range(n_freqs - 1):
-            s, c = 2.0 * s * c, 2.0 * c * c - 1.0
+        anchor_every = 5 if method == "anchored" else n_freqs
+        xf = x.astype(jnp.float32)
+        sins, coss = [], []
+        for g0 in range(0, n_freqs, anchor_every):
+            # 2^g0 * (fm*pi) is a power-of-2 scaling of the same f32
+            # constant, so the anchor's argument is bitwise the doubled
+            # base — anchors and 'direct' agree exactly at octave g0
+            base = (freq_mult * float(2 ** g0) * jnp.pi) * xf
+            s, c = jnp.sin(base), jnp.cos(base)
             sins.append(s)
             coss.append(c)
+            for _ in range(min(anchor_every, n_freqs - g0) - 1):
+                s, c = 2.0 * s * c, 2.0 * c * c - 1.0
+                sins.append(s)
+                coss.append(c)
         enc = jnp.stack(sins + coss, axis=-1).astype(x.dtype)  # [..., d, 2n]
     enc = enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * n_freqs)
     return jnp.concatenate([x, enc], axis=-1)

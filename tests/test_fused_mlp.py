@@ -104,3 +104,167 @@ def test_fused_mlp_ragged_block_grads():
         assert np.isfinite(pw).all() and np.isfinite(pb).all()
         np.testing.assert_allclose(pw, np.asarray(rw), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(pb, np.asarray(rb), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- posenc
+
+
+def _ref_posenc_mlp(feat_t, pos_t, weights, n_freqs, freq_mult, method):
+    """Unfused composition the kernel replaces: transpose back, posenc,
+    concat, apply_mlp."""
+    from npcd_tpu.models.pointnerf.nn_core import positional_encoding
+
+    feat = jnp.swapaxes(feat_t, 1, 2)  # [B, M, F]
+    x = jnp.swapaxes(pos_t[:, :3], 1, 2)  # [B, M, 3]
+    enc = positional_encoding(x, n_freqs, freq_mult, method=method)
+    h = jnp.concatenate([feat, enc.astype(feat.dtype)], axis=-1)
+    ls = [{"w": w, "b": b} for w, b in weights]
+    return apply_mlp(ls, h, impl="xla")
+
+
+def _posenc_setup(f_dim=32, n_freqs=10, m=70, dims=(256, 256, 256, 256),
+                  d_out=256, dtype=jnp.float32):
+    d_in = f_dim + 3 * (1 + 2 * n_freqs)
+    layers = init_mlp(jax.random.PRNGKey(0), dims, d_in, d_out)
+    weights = tuple((l["w"].astype(dtype), l["b"].astype(dtype))
+                    for l in layers)
+    feat_t = jax.random.normal(jax.random.PRNGKey(1), (2, f_dim, m)).astype(dtype)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, m)) * 0.05
+    pos_t = jnp.pad(x, ((0, 0), (0, 5), (0, 0)))
+    return feat_t, pos_t, weights
+
+
+@pytest.mark.parametrize("method", ["direct", "recurrence"])
+def test_fused_mlp_posenc_interpret_matches_xla(method):
+    from npcd_tpu.ops.pallas.fused_mlp import fused_mlp_posenc
+
+    feat_t, pos_t, weights = _posenc_setup()
+    ref = _ref_posenc_mlp(feat_t, pos_t, weights, 10, 1.0, method)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_mlp_posenc(feat_t, pos_t, weights, 10,
+                                              1.0, True, method))
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_posenc_grads_match_xla():
+    from npcd_tpu.ops.pallas.fused_mlp import fused_mlp_posenc
+
+    feat_t, pos_t, weights = _posenc_setup(f_dim=16, n_freqs=4, m=40,
+                                           dims=(64, 64), d_out=64)
+    ct = jax.random.normal(jax.random.PRNGKey(3), (2, 40, 64))
+
+    def loss_ref(feat_t, pos_t, weights):
+        return (_ref_posenc_mlp(feat_t, pos_t, weights, 4, 1.0,
+                                "direct") * ct).sum()
+
+    def loss_pl(feat_t, pos_t, weights):
+        return (fused_mlp_posenc(feat_t, pos_t, weights, 4, 1.0, True,
+                                 "direct") * ct).sum()
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(feat_t, pos_t, weights)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_pl, argnums=(0, 1, 2))(feat_t, pos_t, weights)
+            got = jax.tree_util.tree_map(np.asarray, got)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(got[0], np.asarray(ref[0]), rtol=1e-4,
+                               atol=1e-5, err_msg="dfeat")
+    # dpos rows 3..7 are structural zero padding
+    np.testing.assert_allclose(got[1][:, :3], np.asarray(ref[1][:, :3]),
+                               rtol=1e-4, atol=1e-4, err_msg="dpos")
+    assert np.all(got[1][:, 3:] == 0)
+    for (rw, rb), (pw, pb), i in zip(ref[2], got[2], range(len(ref[2]))):
+        np.testing.assert_allclose(pw, np.asarray(rw), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"dW{i}")
+        np.testing.assert_allclose(pb, np.asarray(rb), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"db{i}")
+
+
+def test_fused_mlp_posenc_ragged_block():
+    """M not a multiple of the block: OOB lanes must not poison outputs
+    or dW (sin/cos of undefined loads are masked in-kernel)."""
+    from npcd_tpu.ops.pallas.fused_mlp import fused_mlp_posenc
+
+    feat_t, pos_t, weights = _posenc_setup(f_dim=8, n_freqs=3, m=37,
+                                           dims=(32,), d_out=32)
+
+    def loss(feat_t, pos_t, weights):
+        return fused_mlp_posenc(feat_t, pos_t, weights, 3, 1.0, True,
+                                "direct").sum()
+
+    def loss_ref(feat_t, pos_t, weights):
+        return _ref_posenc_mlp(feat_t, pos_t, weights, 3, 1.0, "direct").sum()
+
+    ref = jax.grad(loss_ref, argnums=(0, 1))(feat_t, pos_t, weights)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            val = loss(feat_t, pos_t, weights)
+            got = jax.grad(loss, argnums=(0, 1))(feat_t, pos_t, weights)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    assert np.isfinite(float(val))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1][:, :3]),
+                               np.asarray(ref[1][:, :3]), rtol=1e-4, atol=1e-4)
+
+
+def test_aggregate_features_posenc_fused_matches_xla():
+    """Full aggregation path: fused posenc kernel + transposed gathers vs
+    the XLA path — values, validity, weights, and grads wrt kp_feat and
+    the MLP params."""
+    from npcd_tpu.models.pointnerf.aggregator import aggregate_features
+    from npcd_tpu.models.pointnerf.nn_core import init_mlp, posenc_dim
+    from npcd_tpu.utils.config import AggregatorOptions
+
+    opts = AggregatorOptions(k=4, n_freqs=5, layers=(64, 64), out_dim=64)
+    f_dim, b, n, p = 16, 2, 40, 24
+    d_in = f_dim + posenc_dim(3, opts.n_freqs)
+    params = {"local_field": init_mlp(jax.random.PRNGKey(0), opts.layers,
+                                      d_in, opts.out_dim)}
+    shading_pts = jax.random.normal(jax.random.PRNGKey(1), (b, n, 3)) * 0.3
+    pts_mask = jax.random.bernoulli(jax.random.PRNGKey(2), 0.8, (b, n))
+    kp_pos = jax.random.normal(jax.random.PRNGKey(3), (b, p, 3)) * 0.3
+    kp_feat = jax.random.normal(jax.random.PRNGKey(4), (b, p, f_dim))
+
+    def run(impl, kp_feat):
+        return aggregate_features(
+            params, opts, 0.5, shading_pts, pts_mask, kp_pos, kp_feat,
+            compute_dtype=jnp.float32, return_weights=True, impl=impl)
+
+    ref_feat, ref_valid, ref_w, ref_idx = run("xla", kp_feat)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got_feat, got_valid, got_w, got_idx = run("posenc_fused", kp_feat)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_array_equal(np.asarray(got_valid), np.asarray(ref_valid))
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_feat), np.asarray(ref_feat),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(impl, kp_feat, params_):
+        feat, _ = aggregate_features(
+            params_, opts, 0.5, shading_pts, pts_mask, kp_pos, kp_feat,
+            compute_dtype=jnp.float32, impl=impl)
+        return (feat * jnp.arange(feat.size).reshape(feat.shape)).sum()
+
+    ref_g = jax.grad(lambda kf, pr: loss("xla", kf, pr),
+                     argnums=(0, 1))(kp_feat, params)
+    with pltpu.force_tpu_interpret_mode():
+        got_g = jax.grad(lambda kf, pr: loss("posenc_fused", kf, pr),
+                         argnums=(0, 1))(kp_feat, params)
+    np.testing.assert_allclose(np.asarray(got_g[0]), np.asarray(ref_g[0]),
+                               rtol=1e-3, atol=1e-2, err_msg="d kp_feat")
+    for rl, gl, i in zip(ref_g[1]["local_field"], got_g[1]["local_field"],
+                         range(99)):
+        np.testing.assert_allclose(np.asarray(gl["w"]), np.asarray(rl["w"]),
+                                   rtol=1e-3, atol=1e-2, err_msg=f"dW{i}")
+        np.testing.assert_allclose(np.asarray(gl["b"]), np.asarray(rl["b"]),
+                                   rtol=1e-3, atol=1e-2, err_msg=f"db{i}")

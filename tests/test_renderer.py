@@ -189,3 +189,27 @@ def test_posenc_recurrence_matches_direct():
     rec = positional_encoding(x, 10, method="recurrence")
     assert direct.shape == rec.shape == (100, 63)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(direct), atol=1e-2)
+
+
+def test_posenc_anchored_matches_direct():
+    """The production default: anchored recurrence must stay within one
+    bf16 ulp of the reference 'direct' evaluation (the qualified bound in
+    utils/config.AggregatorOptions)."""
+    from npcd_tpu.models.pointnerf.nn_core import positional_encoding
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (20000, 3), minval=-1,
+                           maxval=1)
+    direct = positional_encoding(x, 10, method="direct")
+    anc = positional_encoding(x, 10, method="anchored")
+    np.testing.assert_allclose(np.asarray(anc), np.asarray(direct), atol=5e-5)
+    # anchor octaves (0 and 5) are bitwise equal to direct. Layout:
+    # [x (3 cols) | per-dim 20-col blocks of [sin0..9, cos0..9]]
+    d_np, a_np = np.asarray(direct), np.asarray(anc)
+    for d in range(3):
+        for j in (0, 5, 10, 15):  # sin0, sin5, cos0, cos5
+            col = 3 + d * 20 + j
+            np.testing.assert_array_equal(a_np[:, col], d_np[:, col])
+    # the bf16 cast absorbs nearly all of the residual deviation
+    bd = np.asarray(direct.astype(jnp.bfloat16))
+    ba = np.asarray(anc.astype(jnp.bfloat16))
+    assert (bd != ba).mean() < 1e-3
