@@ -219,7 +219,60 @@ def _bwd_kernel_bf16p(q_ref, k_ref, v_ref, g_ref, lse_ref,
         dv_ref[:, sl] = dv.astype(dv_ref.dtype)
 
 
-def bwd_variant(kernel_fn):
+def _bwd_kernel_odot(q_ref, k_ref, v_ref, g_ref, lse_ref,
+                     dq_ref, dk_ref, dv_ref, *, d, hpb, sm_scale, valid_len,
+                     bf16p: bool, pipelined: bool):
+    """delta via output recompute: delta_i = rowsum(p*dp)_i = g_i . (p v)_i
+    (exact reassociation), so the two [S, S] VPU passes (p*dp + row reduce)
+    become one extra [S,S]@[S,D] MXU dot and a [S, D] elementwise rowsum.
+    bf16p additionally keeps p only as the bf16 pc (dv/odot operand), making
+    the exp2 rebuild a single chain; ds then upcasts pc once."""
+    xq = q_ref[...]
+    xk = k_ref[...]
+    xv = v_ref[...]
+    xg = g_ref[...]
+    io = xq.dtype
+    s = xq.shape[0]
+    mask_bias = prod._mask_bias(s, valid_len)
+    c2 = jnp.asarray(sm_scale * _LOG2_E, io)
+
+    def logits_h(h):
+        sl = slice(h * d, (h + 1) * d)
+        return prod._logits(xq[:, sl] * c2, xk[:, sl], mask_bias)
+
+    lg = logits_h(0) if pipelined else None
+    for h in range(hpb):
+        sl = slice(h * d, (h + 1) * d)
+        q, k, v, g = xq[:, sl], xk[:, sl], xv[:, sl], xg[:, sl]
+        lse = lse_ref[0, 0, :, h:h + 1]
+        logits = lg if pipelined else logits_h(h)
+        if pipelined:
+            lg = logits_h(h + 1) if h + 1 < hpb else None
+        if bf16p:
+            pc = jnp.exp2(logits - lse).astype(io)
+            pf = pc.astype(jnp.float32)
+        else:
+            pf = jnp.exp2(logits - lse)
+            pc = pf.astype(io)
+        dv = jax.lax.dot_general(
+            pc, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = jnp.dot(pc, v, preferred_element_type=jnp.float32)  # [S, D]
+        delta = jnp.sum(g.astype(jnp.float32) * o, axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (pf * (dp - delta)).astype(io)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        dq_ref[:, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, sl] = dv.astype(dv_ref.dtype)
+
+
+def bwd_variant(kernel_fn, **kw):
     def run(qkv, lse, g):
         w = qkv.shape[-1] // 3
         d = w // H
@@ -233,7 +286,7 @@ def bwd_variant(kernel_fn):
         shape = jax.ShapeDtypeStruct((B * S, w), qkv.dtype)
         return pl.pallas_call(
             functools.partial(kernel_fn, d=d, hpb=hpb,
-                              sm_scale=1.0 / (d ** 0.5), valid_len=513),
+                              sm_scale=1.0 / (d ** 0.5), valid_len=513, **kw),
             out_shape=(shape, shape, shape),
             grid=(B, H // hpb),
             in_specs=[at(0), at(1), at(2), grad_spec, lse_spec],
@@ -271,8 +324,12 @@ def main():
     bwdB = bwd_variant(_bwd_kernel_pipe)
     refA = jax.jit(bwdA)(qkv, lseA, gout)
     bwdC = bwd_variant(_bwd_kernel_bf16p)
+    bwdD = bwd_variant(_bwd_kernel_odot, bf16p=False, pipelined=False)
+    bwdE = bwd_variant(_bwd_kernel_odot, bf16p=True, pipelined=False)
+    bwdF = bwd_variant(_bwd_kernel_odot, bf16p=True, pipelined=True)
     for name, fn in [("bwdA_prod", bwdA), ("bwdB_pipe", bwdB),
-                     ("bwdC_bf16p", bwdC)]:
+                     ("bwdC_bf16p", bwdC), ("bwdD_odot", bwdD),
+                     ("bwdE_odot_bf16p", bwdE), ("bwdF_odot_b16_pipe", bwdF)]:
         try:
             outs = jax.jit(fn)(qkv, lseA, gout)
             err = max(jnp.max(jnp.abs(a.astype(jnp.float32)
