@@ -244,7 +244,8 @@ def _aggregate_posenc_fused(
     ~6 ms x_rel assembly per step at the SRN geometry), and every
     intermediate travels channels-on-sublanes so nothing tiles a <128
     minor dim to 128 lanes."""
-    from ...ops.pallas.fused_mlp import fused_mlp_posenc
+    from ...ops.pallas.fused_mlp import (
+        fused_mlp_posenc, fused_mlp_posenc_wsum, wsum_supported)
 
     b_dim, n_dim, k_dim = idx.shape
     m_flat = n_dim * k_dim
@@ -265,17 +266,37 @@ def _aggregate_posenc_fused(
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
     w = jnp.where(w_sum > 0, w / w_sum, 0.0)
 
-    pos_t = jnp.pad(x_rel_t, ((0, 0), (0, 5), (0, 0)))  # [B, 8, M]
     weights = tuple(
         (l["w"].astype(compute_dtype), l["b"].astype(compute_dtype))
         for l in params["local_field"]
     )
-    local_feat = fused_mlp_posenc(
-        feat_t, pos_t, weights, opts.n_freqs, opts.freq_mult,
-        True, opts.posenc_method,
-    ).reshape(b_dim, n_dim, k_dim, -1)
-
-    feat = jnp.einsum("bnk,bnkc->bnc", w.astype(local_feat.dtype), local_feat)
+    if wsum_supported(m_flat, k_dim):
+        # w rides pos row 3 and the k-neighbor weighted reduction happens
+        # inside the kernel (output [B, N, out] instead of [B, N*k, out]):
+        # /k output+cotangent HBM traffic, and the einsum below disappears
+        pos_t = jnp.concatenate(
+            [x_rel_t, w.reshape(b_dim, 1, m_flat),
+             jnp.zeros((b_dim, 4, m_flat), x_rel_t.dtype)], axis=1)
+        # need_dw=False: w's cotangent is structurally dead here — kp_pos
+        # is detached above (detach_points=True) and shading_pts derives
+        # from cameras/depths with no trainable inputs (the coords table is
+        # frozen, reference pointnerf.py:22-24), so nothing differentiable
+        # reaches the inverse-distance weights. Skipping the in-kernel dw
+        # pass saves a measured 3.6 ms/step; the XLA path gets the same
+        # effect from dead-code elimination. If shading_pts ever becomes
+        # trainable, this must flip to True.
+        feat = fused_mlp_posenc_wsum(
+            feat_t, pos_t, weights, k_dim, opts.n_freqs, opts.freq_mult,
+            True, opts.posenc_method, need_dw=False,
+        )  # [B, N, out_dim]
+    else:
+        pos_t = jnp.pad(x_rel_t, ((0, 0), (0, 5), (0, 0)))  # [B, 8, M]
+        local_feat = fused_mlp_posenc(
+            feat_t, pos_t, weights, opts.n_freqs, opts.freq_mult,
+            True, opts.posenc_method,
+        ).reshape(b_dim, n_dim, k_dim, -1)
+        feat = jnp.einsum(
+            "bnk,bnkc->bnc", w.astype(local_feat.dtype), local_feat)
     valid_pt = pts_mask & jnp.any(nb_mask, axis=-1)
     if return_weights:
         return feat, valid_pt, w, idx

@@ -297,13 +297,39 @@ def _build_h0t(f_ref, p_ref, *, pos_dim: int, n_freqs: int,
     return jnp.concatenate(pieces, axis=0), sins, coss
 
 
+def _w_col(p_ref, lane_ok, blk: int):
+    """Per-pair weight as a column [blk, 1] f32: read from pos row 3
+    ([1, blk] lane-major), zero OOB lanes of a ragged block, relayout to
+    sublanes. The 1-D relayout is a few hundred cycles — an earlier
+    block-diagonal-selector MXU formulation cost k*npts/1 redundant dot
+    work (~10 ms/step at the SRN geometry, measured perf-neutral)."""
+    wv = jnp.where(lane_ok, p_ref[0][3:4], 0.0)  # [1, blk] f32
+    return wv.reshape(blk, 1)
+
+
+def _wsum_reduce(h, w_col, k: int):
+    """out[n] = sum_j w[n*k+j] * h[n*k+j]: VPU multiply + sublane-group
+    reduce (pairs of one point are consecutive sublanes)."""
+    blk, d = h.shape
+    wh = h.astype(jnp.float32) * w_col
+    return jnp.sum(wh.reshape(blk // k, k, d), axis=1)
+
+
 def _fwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
                        pos_dim: int, n_freqs: int, freq_mult: float,
-                       method: str, rows_pad: int):
+                       method: str, rows_pad: int, reduce_k: int, rows: int):
     o_ref = refs[-1]
+    blk = f_ref.shape[-1]
+    lane_ok = None
+    if reduce_k:
+        # the reduction dot sums every lane into each output row, so ragged
+        # OOB lanes must be finite (0 * NaN = NaN inside an MXU dot)
+        lane = pl.program_id(1) * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, blk), 1)
+        lane_ok = lane < rows
     h0t, _, _ = _build_h0t(f_ref, p_ref, pos_dim=pos_dim, n_freqs=n_freqs,
                            freq_mult=freq_mult, method=method,
-                           rows_pad=rows_pad, lane_ok=None)
+                           rows_pad=rows_pad, lane_ok=lane_ok)
     w0 = refs[0][...]
     h = jax.lax.dot_general(
         h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -315,12 +341,15 @@ def _fwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         h = _layer(h, refs[2 * i], refs[2 * i + 1])
         if not (final_linear and i == n_layers - 1):
             h = _act(h)
+    if reduce_k:
+        h = _wsum_reduce(h, _w_col(p_ref, lane_ok, blk), reduce_k)
     o_ref[0] = h.astype(o_ref.dtype)
 
 
 def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
                        pos_dim: int, n_freqs: int, freq_mult: float,
-                       method: str, rows_pad: int, rows: int, f_dim: int):
+                       method: str, rows_pad: int, rows: int, f_dim: int,
+                       reduce_k: int, need_dw: bool):
     n_in = 2 * n_layers + 1
     g_ref = refs[n_in - 1]
     df_ref = refs[n_in]
@@ -336,7 +365,7 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         for a in acc_refs:
             a[...] = jnp.zeros_like(a)
 
-    blk = g_ref.shape[1]
+    blk = f_ref.shape[-1]
     lane = blk_j * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
     lane_ok = lane < rows
 
@@ -359,9 +388,36 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         zs.append(z)
         h = z if (final_linear and l == n_layers - 1) else _act(z)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
-    row_ok = (blk_j * blk + row) < rows
-    g = jnp.where(row_ok, g_ref[0].astype(jnp.float32), 0.0)
+    dw_row = None
+    if reduce_k:
+        # expand the per-point cotangent back to pairs (sublane-group
+        # broadcast) and weight it: g_pairs[r] = w[r] * g_out[r // k]
+        npts = blk // reduce_k
+        d_out = g_ref.shape[-1]
+        pt_ok = (blk_j * npts + jax.lax.broadcasted_iota(
+            jnp.int32, (npts, 1), 0)) < (rows // reduce_k)
+        g_out = jnp.where(pt_ok, g_ref[0].astype(jnp.float32), 0.0)
+        g_exp = jnp.broadcast_to(
+            g_out[:, None, :], (npts, reduce_k, d_out)).reshape(blk, d_out)
+        w_col = _w_col(p_ref, lane_ok, blk)
+        g = g_exp * w_col  # [blk, d_out]
+        if need_dw:
+            # dw[r] = <h_last[r], g_out[r // k]>: lane reduce, then back to
+            # the [1, blk] row layout of dpos
+            h_last = zs[-1] if final_linear else _act(zs[-1])
+            dw_col = jnp.sum(h_last.astype(jnp.float32) * g_exp, axis=1,
+                             keepdims=True)  # [blk, 1]
+            dw_row = dw_col.reshape(1, blk)
+        else:
+            # w is a pure geometry function in the production model (kp_pos
+            # detached, shading points camera/depth-derived, coords frozen
+            # — reference pointnerf.py:22-24), so its cotangent is dead;
+            # skipping the reduce+relayout saves a measured 3.6 ms/step
+            dw_row = jnp.zeros((1, blk), jnp.float32)
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+        row_ok = (blk_j * blk + row) < rows
+        g = jnp.where(row_ok, g_ref[0].astype(jnp.float32), 0.0)
 
     for l in range(n_layers - 1, 0, -1):
         if not (final_linear and l == n_layers - 1):
@@ -402,10 +458,12 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         dcos = dh0t[base + (n_freqs + j) * pos_dim:
                     base + (n_freqs + j + 1) * pos_dim]
         dx = dx + kj * (dsin * coss[j] - dcos * sins[j])
-    dp_ref[0] = jnp.concatenate(
-        [dx, jnp.zeros((dp_ref.shape[1] - pos_dim, dx.shape[1]), jnp.float32)],
-        axis=0,
-    )
+    pieces = [dx]
+    if dw_row is not None:  # w rides pos row 3, dw rides dpos row 3
+        pieces.append(dw_row)
+    pad_rows = dp_ref.shape[1] - sum(p.shape[0] for p in pieces)
+    pieces.append(jnp.zeros((pad_rows, dx.shape[1]), jnp.float32))
+    dp_ref[0] = jnp.concatenate(pieces, axis=0)
 
     @pl.when((b_i == pl.num_programs(0) - 1) & (blk_j == pl.num_programs(1) - 1))
     def _store():
@@ -437,41 +495,74 @@ def _round_up8(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _wsum_grid(b, m, k):
+    """Grid/block for the reduced variant: the pair block must hold whole
+    points (k | blk) and the reduced output block must stay sublane-aligned
+    (8k | blk)."""
+    unit = 8 * k
+    blk = (min(_BLK, m) // unit) * unit
+    if blk == 0:
+        return None, 0
+    return (b, pl.cdiv(m, blk)), blk
+
+
+def wsum_supported(m: int, k: int) -> bool:
+    """Whether fused_mlp_posenc_wsum can run at M=m pairs, k neighbors."""
+    return k > 0 and m % k == 0 and min(_BLK, m) >= 8 * k
+
+
 def _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
-                     final_linear, method):
+                     final_linear, method, reduce_k=0):
     b, f_dim, m = feat_t.shape
     pos_dim = 3
     n_layers = len(weights)
     d_out = weights[-1][0].shape[1]
     w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
     kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
-    grid, blk = _grid_and_blk(b, m)
+    if reduce_k:
+        grid, blk = _wsum_grid(b, m, reduce_k)
+        out_shape = jax.ShapeDtypeStruct((b, m // reduce_k, d_out),
+                                         feat_t.dtype)
+        out_spec = pl.BlockSpec((1, blk // reduce_k, d_out),
+                                lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid, blk = _grid_and_blk(b, m)
+        out_shape = jax.ShapeDtypeStruct((b, m, d_out), feat_t.dtype)
+        out_spec = pl.BlockSpec((1, blk, d_out), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
     col = lambda d: pl.BlockSpec((1, d, blk), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_posenc_kernel, n_layers=n_layers,
                           final_linear=final_linear, pos_dim=pos_dim,
                           n_freqs=n_freqs, freq_mult=freq_mult,
-                          method=method, rows_pad=rows_pad),
-        out_shape=jax.ShapeDtypeStruct((b, m, d_out), feat_t.dtype),
+                          method=method, rows_pad=rows_pad,
+                          reduce_k=reduce_k, rows=m),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[col(f_dim), col(pos_t.shape[1])] + _w_specs(kweights),
-        out_specs=pl.BlockSpec((1, blk, d_out), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
     )(feat_t, pos_t, *_flat_weights(kweights))
 
 
 def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
-                     final_linear, method):
+                     final_linear, method, reduce_k=0, need_dw=True):
     b, f_dim, m = feat_t.shape
     pos_dim = 3
     n_layers = len(weights)
     w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
     kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
-    grid, blk = _grid_and_blk(b, m)
+    if reduce_k:
+        grid, blk = _wsum_grid(b, m, reduce_k)
+        g_spec = pl.BlockSpec((1, blk // reduce_k, g.shape[-1]),
+                              lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        grid, blk = _grid_and_blk(b, m)
+        g_spec = pl.BlockSpec((1, blk, g.shape[-1]), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
     col = lambda d: pl.BlockSpec((1, d, blk), lambda i, j: (i, 0, j),
-                                 memory_space=pltpu.VMEM)
-    row = lambda d: pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
@@ -494,11 +585,11 @@ def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
                           final_linear=final_linear, pos_dim=pos_dim,
                           n_freqs=n_freqs, freq_mult=freq_mult,
                           method=method, rows_pad=rows_pad, rows=m,
-                          f_dim=f_dim),
+                          f_dim=f_dim, reduce_k=reduce_k, need_dw=need_dw),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[col(f_dim), col(pos_t.shape[1])] + _w_specs(kweights)
-        + [row(g.shape[-1])],
+        + [g_spec],
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )(feat_t, pos_t, *_flat_weights(kweights), g)
@@ -551,3 +642,49 @@ def _posenc_vjp_bwd(n_freqs, freq_mult, final_linear, method, res, g):
 
 
 fused_mlp_posenc.defvjp(_posenc_vjp_fwd, _posenc_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def fused_mlp_posenc_wsum(
+    feat_t: jnp.ndarray,
+    pos_t: jnp.ndarray,
+    weights: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],
+    k: int,
+    n_freqs: int,
+    freq_mult: float = 1.0,
+    final_linear: bool = True,
+    method: str = "direct",
+    need_dw: bool = True,
+) -> jnp.ndarray:
+    """fused_mlp_posenc with the k-neighbor weighted reduction folded into
+    the kernel's output: returns [B, M // k, d_out] where row n is
+    sum_j w[n*k+j] * mlp(pair n*k+j), i.e. the
+    einsum('bnk,bnkc->bnc', w, local_feat) the aggregator otherwise runs
+    outside (reference aggregators/mlp.py:102-125's index_add_ scatter).
+    Folding it divides the kernel's output (and the backward's cotangent)
+    HBM traffic by k and removes the [B, M, d_out] pair tensor entirely.
+
+    The per-pair weight w rides pos_t ROW 3 (f32, the otherwise zero-padded
+    sublane); its gradient returns in dpos_t row 3. Pairs of one shading
+    point must be contiguous (pair r belongs to point r // k). Requires
+    wsum_supported(M, k)."""
+    return _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
+                            final_linear, method, reduce_k=k)
+
+
+def _posenc_wsum_vjp_fwd(feat_t, pos_t, weights, k, n_freqs, freq_mult,
+                         final_linear, method, need_dw):
+    out = _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
+                           final_linear, method, reduce_k=k)
+    return out, (feat_t, pos_t, weights)
+
+
+def _posenc_wsum_vjp_bwd(k, n_freqs, freq_mult, final_linear, method,
+                         need_dw, res, g):
+    feat_t, pos_t, weights = res
+    return _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
+                            final_linear, method, reduce_k=k,
+                            need_dw=need_dw)
+
+
+fused_mlp_posenc_wsum.defvjp(_posenc_wsum_vjp_fwd, _posenc_wsum_vjp_bwd)

@@ -213,6 +213,115 @@ def test_fused_mlp_posenc_ragged_block():
                                np.asarray(ref[1][:, :3]), rtol=1e-4, atol=1e-4)
 
 
+def _wsum_setup(f_dim=16, n_freqs=4, n=20, k=4, dims=(64, 64), d_out=64,
+                dtype=jnp.float32, key=0):
+    m = n * k
+    feat_t, pos_t, weights = _posenc_setup(f_dim=f_dim, n_freqs=n_freqs,
+                                           m=m, dims=dims, d_out=d_out,
+                                           dtype=dtype)
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(10 + key), (2, n, k)), axis=-1)
+    # row 3 of pos_t carries the per-pair weight
+    pos_t = pos_t.at[:, 3, :].set(w.reshape(2, m))
+    return feat_t, pos_t, weights, w
+
+
+def _ref_wsum(feat_t, pos_t, weights, k, n_freqs, freq_mult, method):
+    out = _ref_posenc_mlp(feat_t, pos_t, weights, n_freqs, freq_mult, method)
+    b, m, d = out.shape
+    w = pos_t[:, 3, :].reshape(b, m // k, k)
+    return jnp.einsum("bnk,bnkc->bnc",
+                      w.astype(out.dtype), out.reshape(b, m // k, k, d))
+
+
+def test_fused_mlp_posenc_wsum_matches_xla():
+    from npcd_tpu.ops.pallas.fused_mlp import (fused_mlp_posenc_wsum,
+                                               wsum_supported)
+
+    feat_t, pos_t, weights, _ = _wsum_setup()
+    assert wsum_supported(80, 4)
+    ref = _ref_wsum(feat_t, pos_t, weights, 4, 4, 1.0, "direct")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_mlp_posenc_wsum(
+                feat_t, pos_t, weights, 4, 4, 1.0, True, "direct"))
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    assert got.shape == (2, 20, 64)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_posenc_wsum_grads_match_xla():
+    """Grads wrt feat, pos (x_rel rows AND the w row), and all weights."""
+    from npcd_tpu.ops.pallas.fused_mlp import fused_mlp_posenc_wsum
+
+    feat_t, pos_t, weights, _ = _wsum_setup()
+    ct = jax.random.normal(jax.random.PRNGKey(3), (2, 20, 64))
+
+    def loss_ref(feat_t, pos_t, weights):
+        return (_ref_wsum(feat_t, pos_t, weights, 4, 4, 1.0,
+                          "direct") * ct).sum()
+
+    def loss_pl(feat_t, pos_t, weights):
+        return (fused_mlp_posenc_wsum(feat_t, pos_t, weights, 4, 4, 1.0,
+                                      True, "direct",
+                                      need_dw=True) * ct).sum()
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(feat_t, pos_t, weights)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_pl, argnums=(0, 1, 2))(feat_t, pos_t, weights)
+            got = jax.tree_util.tree_map(np.asarray, got)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(got[0], np.asarray(ref[0]), rtol=1e-4,
+                               atol=1e-5, err_msg="dfeat")
+    np.testing.assert_allclose(got[1][:, :4], np.asarray(ref[1][:, :4]),
+                               rtol=1e-4, atol=1e-4, err_msg="dpos (x + w)")
+    assert np.all(got[1][:, 4:] == 0)
+    for (rw, rb), (pw, pb), i in zip(ref[2], got[2], range(len(ref[2]))):
+        np.testing.assert_allclose(pw, np.asarray(rw), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"dW{i}")
+        np.testing.assert_allclose(pb, np.asarray(rb), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"db{i}")
+
+
+def test_fused_mlp_posenc_wsum_ragged_block():
+    """M spanning multiple blocks with a ragged tail: OOB lanes feed the
+    in-kernel reduction dot, so garbage there would NaN-poison valid
+    points — must stay finite and match."""
+    from npcd_tpu.ops.pallas import fused_mlp as fm
+
+    feat_t, pos_t, weights, _ = _wsum_setup(f_dim=8, n_freqs=3, n=22, k=2,
+                                            dims=(32,), d_out=32)
+
+    def loss(feat_t, pos_t, weights):
+        return fm.fused_mlp_posenc_wsum(feat_t, pos_t, weights, 2, 3, 1.0,
+                                        True, "direct", need_dw=True).sum()
+
+    def loss_ref(feat_t, pos_t, weights):
+        return _ref_wsum(feat_t, pos_t, weights, 2, 3, 1.0, "direct").sum()
+
+    ref_v = loss_ref(feat_t, pos_t, weights)
+    ref = jax.grad(loss_ref, argnums=(0, 1))(feat_t, pos_t, weights)
+    orig_blk = fm._BLK
+    fm._BLK = 16  # unit = 8*k = 16 -> blk 16, grid j = ceil(44/16) = 3 ragged
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            val = loss(feat_t, pos_t, weights)
+            got = jax.grad(loss, argnums=(0, 1))(feat_t, pos_t, weights)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    finally:
+        fm._BLK = orig_blk
+    assert np.isfinite(float(val))
+    np.testing.assert_allclose(float(val), float(ref_v), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1][:, :4]),
+                               np.asarray(ref[1][:, :4]), rtol=1e-4, atol=1e-4)
+
+
 def test_aggregate_features_posenc_fused_matches_xla():
     """Full aggregation path: fused posenc kernel + transposed gathers vs
     the XLA path — values, validity, weights, and grads wrt kp_feat and
