@@ -27,6 +27,23 @@ import time
 
 A100_EST_STEPS_PER_SEC = 4.2
 
+# A100 eval-render baseline estimate (reference publishes no wall-clock;
+# derivation mirrors the stage-2 roofline estimate above, see
+# docs/PERF.md "A100 render baseline"):
+#   per-view matmul FLOPs, reference math, work ~ valid samples
+#   (masked_select compaction): ~22.6k valid samples/view (SRN-Cars:
+#   ~10.4% of 16384 rays valid x ~13.3 samples/ray) x (8 pairs x 442
+#   kFLOP agg-MLP + 657 kFLOP heads) ~= 95 GFLOP/view.
+#   A100 fp32 peak 19.5 TFLOPS (PyTorch 1.12 ships matmul TF32 *disabled*
+#   by default and the reference never enables it) at the same 40% MFU
+#   -> 12.2 ms/view matmul time; the reference pipeline's ragged
+#   gather/scatter work (masked_select, index_add_, CUDA kNN) is charged
+#   at matmul parity (50% of wall — generous: our TPU path spends ~60%
+#   outside the MLP *after* three rounds of kernel work)
+#   -> ~24.3 ms/view -> 16384 rays / 24.3 ms ~= 674k rays/s.
+# Pure-matmul upper bound (0% non-matmul time) would be 1.34M rays/s.
+A100_EST_RENDER_RAYS_PER_SEC = 674e3
+
 
 def _xplane_op_breakdown(trace_dir: str, steps: int, top_n: int = 12):
     """Per-op device-time table from a jax.profiler trace (xplane.pb),
@@ -391,18 +408,25 @@ def bench_stage1_steps(preset: str):
 
 def bench_render_rays(preset: str) -> float:
     import dataclasses
+    import os.path as osp
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from npcd_tpu.data.synthetic import random_cameras
     from npcd_tpu.models.pointnerf import PointNeRF, PointNeRFRenderConfig
     from npcd_tpu.utils.config import pointnerf_default_options
 
     if preset == "full":
-        # memory: pts/chunk = views * chunk * max_shading_pts; keep the
-        # pair-MLP activations (~pts*8*256) within a few GB of HBM
-        res, views, num_points, chunk, iters = 128, 2, 512, 2048, 5
+        # r04: measured at the production FID-eval batching — 32 of the
+        # real SRN-Cars test poses per jit call (DiffusionEvaluation's
+        # render_pose_batch default) over a car-shaped point cloud, chunk
+        # 1024 + slot-block 5 staircase. The r01-r03 bench shape (2 views,
+        # random cameras, uniform cube cloud) under-reported: 2 views/call
+        # left the tunnel dispatch latency unamortized and the uniform
+        # cube's valid-ray fraction is unlike the protocol workload.
+        res, views, num_points, chunk, iters = 128, 32, 512, 1024, 3
         opts = pointnerf_default_options()
     else:
         res, views, num_points, chunk, iters = 32, 2, 64, 1024, 2
@@ -421,13 +445,26 @@ def bench_render_rays(preset: str) -> float:
         render_config=PointNeRFRenderConfig(eval_ray_chunk=chunk),
     )
     params = pn.init_params(jax.random.PRNGKey(0))
-    coords = jax.random.uniform(
-        jax.random.PRNGKey(1), (1, num_points, 3), minval=-0.5, maxval=0.5
-    )
+    poses_file = osp.join(osp.dirname(osp.abspath(__file__)),
+                          "data", "srncars_test_poses.npy")
+    if preset == "full" and osp.isfile(poses_file):
+        extr = np.load(poses_file)[:views]
+        intr = np.load(poses_file.replace("poses", "intrinsics"))[:views]
+        extr = jnp.asarray(extr, jnp.float32)[None]
+        intr = jnp.asarray(intr, jnp.float32)[None]
+        # car-shaped cloud (SRN-Cars normalized extents, solid box — a
+        # conservative over-estimate of a car surface's valid samples)
+        pts = np.random.default_rng(0).uniform(-1, 1, (1, num_points, 3))
+        pts = pts * np.array([0.42, 0.18, 0.16])
+        coords = jnp.asarray(pts, jnp.float32)
+    else:
+        coords = jax.random.uniform(
+            jax.random.PRNGKey(1), (1, num_points, 3), minval=-0.5, maxval=0.5
+        )
+        extr, intr = random_cameras(views, res, seed=0)
+        extr = jnp.asarray(extr)[None]
+        intr = jnp.asarray(intr)[None]
     feats = jax.random.normal(jax.random.PRNGKey(2), (1, num_points, 32)) * 0.1
-    extr, intr = random_cameras(views, res, seed=0)
-    extr = jnp.asarray(extr)[None]
-    intr = jnp.asarray(intr)[None]
 
     @jax.jit
     def render(params, coords, feats):
@@ -516,6 +553,20 @@ def main():
         ),
         "extra": {
             "render_rays_per_sec": round(rays_per_sec, 1),
+            # BASELINE.md metric of record #2: render throughput vs the
+            # estimated A100 rate (derivation at A100_EST_RENDER_RAYS_PER_SEC;
+            # the >=5x target is for v5e-8 = 8x the single-chip figure, the
+            # eval shards embarrassingly over objects/views)
+            **(
+                {
+                    "render_vs_baseline_a100": round(
+                        rays_per_sec / A100_EST_RENDER_RAYS_PER_SEC, 3),
+                    "render_vs_baseline_a100_dp8": round(
+                        8 * rays_per_sec / A100_EST_RENDER_RAYS_PER_SEC, 2),
+                }
+                if preset == "full"
+                else {}
+            ),
             **({"sampler_steps_per_sec": round(sampler_steps, 1)} if sampler_steps else {}),
             "stage1_steps_per_sec": round(s1_steps, 3),
             "stage1_train_rays_per_sec": round(s1_rays, 1),

@@ -161,6 +161,18 @@ def aggregate_features(
       (if return_weights) w:   [B, N, k] normalized inv-dist weights
                                (zeros at masked pairs).
       (if return_weights) idx: [B, N, k] keypoint index of each pair.
+
+    Gradient contract: the inverse-distance aggregation weights are
+    NON-DIFFERENTIABLE in every impl (explicit stop_gradient in the XLA
+    and fused paths; need_dw=False in the wsum kernel). This matches the
+    reference exactly today — kp_pos is detached (detach_points=True,
+    aggregators/mlp.py:58-59) and shading_pts derives from cameras/depths
+    with no trainable ancestors (the coords table is frozen, reference
+    pointnerf.py:22-24) — and it pins all three runtime-selected paths to
+    the same semantics if shading points ever become trainable (they
+    would need a deliberate contract change here, not a silent per-path
+    divergence; tests/test_fused_mlp.py::test_agg_weight_cotangent_dead
+    pins this).
     """
     kp_pos = jax.lax.stop_gradient(kp_pos)  # detach_points=True
 
@@ -207,6 +219,9 @@ def aggregate_features(
     w = (1.0 / (dist + 1e-5)) * nb_mask.astype(dist.dtype)  # [B, N, k]
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
     w = jnp.where(w_sum > 0, w / w_sum, 0.0)
+    # Contract: the inverse-distance weights are non-differentiable in
+    # EVERY impl (see the module-level note in aggregate_features' docstring)
+    w = jax.lax.stop_gradient(w)
 
     x_enc = positional_encoding(x_rel, opts.n_freqs, opts.freq_mult, method=opts.posenc_method)
     field_in = jnp.concatenate([nb_feat, x_enc], axis=-1)  # [B, N, k, F + enc]
@@ -247,6 +262,18 @@ def _aggregate_posenc_fused(
     from ...ops.pallas.fused_mlp import (
         fused_mlp_posenc, fused_mlp_posenc_wsum, wsum_supported)
 
+    # Explicit impl="posenc_fused" bypasses the auto-gate, so re-check the
+    # kernel's hard preconditions here: the kernel hardcodes leaky_relu
+    # (fused_mlp._act) and requires lane-aligned feature width.
+    if opts.activation != "leaky_relu":
+        raise ValueError(
+            f"posenc_fused kernel hardcodes leaky_relu; got activation="
+            f"{opts.activation!r} (use impl='xla')")
+    if kp_feat.shape[-1] % 8 != 0:
+        raise ValueError(
+            f"posenc_fused kernel needs feat_dim % 8 == 0; got "
+            f"{kp_feat.shape[-1]} (use impl='xla')")
+
     b_dim, n_dim, k_dim = idx.shape
     m_flat = n_dim * k_dim
     idx_flat = idx.reshape(b_dim, m_flat)
@@ -265,6 +292,9 @@ def _aggregate_posenc_fused(
     w = (1.0 / (dist + 1e-5)) * nb_mask.astype(dist.dtype)
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
     w = jnp.where(w_sum > 0, w / w_sum, 0.0)
+    # see aggregate_features' gradient contract: w is non-differentiable
+    # in every impl, matching the wsum kernel's need_dw=False
+    w = jax.lax.stop_gradient(w)
 
     weights = tuple(
         (l["w"].astype(compute_dtype), l["b"].astype(compute_dtype))
@@ -277,14 +307,11 @@ def _aggregate_posenc_fused(
         pos_t = jnp.concatenate(
             [x_rel_t, w.reshape(b_dim, 1, m_flat),
              jnp.zeros((b_dim, 4, m_flat), x_rel_t.dtype)], axis=1)
-        # need_dw=False: w's cotangent is structurally dead here — kp_pos
-        # is detached above (detach_points=True) and shading_pts derives
-        # from cameras/depths with no trainable inputs (the coords table is
-        # frozen, reference pointnerf.py:22-24), so nothing differentiable
-        # reaches the inverse-distance weights. Skipping the in-kernel dw
-        # pass saves a measured 3.6 ms/step; the XLA path gets the same
-        # effect from dead-code elimination. If shading_pts ever becomes
-        # trainable, this must flip to True.
+        # need_dw=False: w is stop_gradient'ed above (the uniform gradient
+        # contract of aggregate_features — see its docstring), so the w
+        # cotangent is structurally zero in every path and skipping the
+        # in-kernel dw pass (a measured 3.6 ms/step) cannot diverge from
+        # the XLA path.
         feat = fused_mlp_posenc_wsum(
             feat_t, pos_t, weights, k_dim, opts.n_freqs, opts.freq_mult,
             True, opts.posenc_method, need_dw=False,

@@ -134,10 +134,10 @@ def positional_encoding(
     phase error doubles per octave (up to ~7e-3 at octave 9).
     method='anchored' re-anchors the recurrence with direct sin/cos every
     5 octaves: 4 transcendentals per element, error compounds over at most
-    4 doublings (measured max |dev| from 'direct' < 5e-6 — below one bf16
-    ulp, so bf16-compute paths see reference-exact inputs;
-    tests/test_fused_mlp.py pins the bound). method='direct' matches the
-    reference op-for-op.
+    4 doublings (measured max |dev| from 'direct' 1.2e-5 over 200k inputs
+    in [-2, 2], n_freqs 6 and 10 — far below one bf16 ulp, so bf16-compute
+    paths see reference-exact inputs; tests/test_renderer.py pins the
+    bound at atol=2e-5). method='direct' matches the reference op-for-op.
     """
     if method == "direct":
         freq_bands = freq_mult * (2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)) * jnp.pi

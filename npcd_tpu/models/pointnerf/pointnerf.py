@@ -73,7 +73,17 @@ class PointNeRFRenderConfig:
     # every [pairs, 256] activation (~100 GB unremated at the SRN config).
     train_remat: Optional[bool] = None
     train_ray_chunk: int = 256      # kept for bwd-compat; training chunks instances
-    eval_ray_chunk: int = 4096      # rays per chunk in eval
+    eval_ray_chunk: int = 1024      # rays per chunk in eval
+    # Slot-block size for the eval staircase (r04): rays are sorted by
+    # valid-sample count (descending), so the [rays, max_shading_pts] slot
+    # grid of each ray chunk is a monotone staircase — slot blocks past the
+    # chunk's max count are skipped with lax.cond, making shading work track
+    # the *valid sample count* (~26% slot occupancy on SRN scenes) instead
+    # of the dense grid. Must divide max_shading_pts; 0/None disables
+    # (dense slots, the pre-r04 behavior). A/B on v5e (32 views, SRN test
+    # poses, car-box cloud, chunk=1024): sb=5 22.5 ms/view, sb=10 24.6,
+    # sb=25 28.0, dense 38.1.
+    eval_slot_block: Optional[int] = 5
     compute_dtype: Any = jnp.float32
     # sample-validity test: 'knn' = nearest neighbor within the absolute
     # radius (the reference's pure-tensor fallback semantic,
@@ -220,13 +230,18 @@ class PointNeRF:
         ray_valid = jnp.any(pts_mask, axis=-1)  # [I, R] (original ray order)
 
         # ---- eval-time valid-ray packing ----------------------------------
-        # Sort rays so valid ones pack into the leading chunks; chunks with
-        # no valid ray are skipped with real control flow (lax.cond inside
-        # the sequential chunk map). On SRN-style scenes most rays miss the
-        # object, so this cuts eval render work by the invalid fraction.
+        # Sort rays by valid-sample count, descending, so (a) valid rays
+        # pack into the leading chunks — chunks with no valid ray are
+        # skipped with real control flow (lax.cond inside the sequential
+        # chunk map) — and (b) within the live chunks the [rays, M] slot
+        # grid is a monotone staircase, so trailing slot blocks die for all
+        # but the first chunks (see field_chunk). On SRN-style scenes most
+        # rays miss the object and valid rays occupy ~26% of their slots,
+        # so this cuts eval render work to ~the valid-sample count.
         inv_order = None
         if not train:
-            order = jnp.argsort(~ray_valid, axis=1, stable=True)  # [I, R]
+            counts = jnp.sum(pts_mask, axis=-1).astype(jnp.int32)  # [I, R]
+            order = jnp.argsort(-counts, axis=1, stable=True)  # [I, R]
             take_ord = lambda a: jnp.take_along_axis(
                 a, order.reshape(i_dim, r_dim, *([1] * (a.ndim - 2))), axis=1
             )
@@ -243,21 +258,66 @@ class PointNeRF:
         # instances, rematerialized for the backward pass).
         def field_chunk(d_c, msk, r_o, r_d, r_e, kpp, kpf, neighbors=None):
             n_i, n_r = d_c.shape[:2]
-            pts = r_o[:, :, None, :] + d_c[..., None] * r_d[:, :, None, :]
-            agg = aggregate_features(
-                params["aggregator"], o.aggregator, o.knn_radius,
-                pts.reshape(n_i, -1, 3), msk.reshape(n_i, -1),
-                kpp, kpf, compute_dtype=self.cfg.compute_dtype,
-                neighbors=neighbors, return_weights=kp_weights,
-            )
-            feat, valid_pt = agg[0], agg[1]
-            feat = feat.reshape(n_i, n_r, m, -1)
-            valid_pt = valid_pt.reshape(n_i, n_r, m)
             ray_dir = r_d if o.field.use_dir else None
-            sigma, rgb = field_heads(
-                params["field"], o.field, feat, valid_pt, ray_dir,
-                compute_dtype=self.cfg.compute_dtype,
+
+            def shade(d_b, m_b):
+                n_s = d_b.shape[-1]
+                pts = r_o[:, :, None, :] + d_b[..., None] * r_d[:, :, None, :]
+                agg = aggregate_features(
+                    params["aggregator"], o.aggregator, o.knn_radius,
+                    pts.reshape(n_i, -1, 3), m_b.reshape(n_i, -1),
+                    kpp, kpf, compute_dtype=self.cfg.compute_dtype,
+                    neighbors=neighbors, return_weights=kp_weights,
+                )
+                feat = agg[0].reshape(n_i, n_r, n_s, -1)
+                valid_pt = agg[1].reshape(n_i, n_r, n_s)
+                sigma, rgb = field_heads(
+                    params["field"], o.field, feat, valid_pt, ray_dir,
+                    compute_dtype=self.cfg.compute_dtype,
+                )
+                return sigma, rgb, valid_pt, agg
+
+            # ---- slot-block staircase (eval, r04) -----------------------
+            # Rays arrive count-sorted (descending), so the [n_r, M] slot
+            # grid is a monotone staircase: block b is all-invalid for most
+            # chunks past the first. Shading each M//sb block under lax.cond
+            # makes the kNN + aggregation MLP + head work proportional to
+            # the number of *valid samples* (~26% slot occupancy on SRN
+            # scenes) instead of the dense grid.
+            sb = self.cfg.eval_slot_block or 0
+            use_blocks = (
+                not train and not kp_weights and neighbors is None
+                and 0 < sb < m and m % sb == 0
             )
+            agg = None
+            if use_blocks:
+                n_blk = m // sb
+                blk = lambda a: jnp.moveaxis(
+                    a.reshape(n_i, n_r, n_blk, sb), 2, 0)  # [NB, I, r, sb]
+
+                def block_body(xs):
+                    d_b, m_b = xs
+
+                    def live(_):
+                        s, c, v, _ = shade(d_b, m_b)
+                        return s, c, v
+
+                    def dead(_):
+                        return (
+                            jnp.zeros((n_i, n_r, sb), jnp.float32),
+                            jnp.zeros((n_i, n_r, sb, 3), jnp.float32),
+                            jnp.zeros((n_i, n_r, sb), bool),
+                        )
+
+                    return jax.lax.cond(jnp.any(m_b), live, dead, None)
+
+                s_b, c_b, v_b = jax.lax.map(block_body, (blk(d_c), blk(msk)))
+                unblk = lambda a: jnp.moveaxis(a, 0, 2).reshape(
+                    n_i, n_r, m, *a.shape[4:])
+                sigma, rgb, valid_pt = unblk(s_b), unblk(c_b), unblk(v_b)
+            else:
+                sigma, rgb, valid_pt, agg = shade(d_c, msk)
+
             d_fixed = fix_shading_depths(d_c, valid_pt, r_e)
             out = ray_march(sigma, d_fixed, rgb, o.renderer.white_back,
                             return_weights=kp_weights)

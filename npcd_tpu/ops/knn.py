@@ -24,10 +24,19 @@ import jax.numpy as jnp
 from ..utils.config import VoxelGridOptions
 
 
+# Past this point count the per-program [P_pad, BLK] f32 distance/key
+# VMEM buffers exceed the ~8 MB budget even at the 128-lane BLK floor
+# (see pallas/knn.py _pick_blk), so the auto-dispatch falls back to XLA
+# instead of failing to compile on large point clouds. Production configs
+# use P=512; an explicit impl='pallas' still forces the kernel.
+_PALLAS_MAX_POINTS = 8192
+
+
 def _knn_use_pallas(points: jnp.ndarray, k: int) -> bool:
     return (
         jax.default_backend() == "tpu"
         and points.shape[0] >= k
+        and points.shape[0] <= _PALLAS_MAX_POINTS
         and points.ndim == 2
     )
 
@@ -99,6 +108,7 @@ def dense_knn_batched(
         impl = "pallas" if (
             jax.default_backend() == "tpu"
             and points.ndim == 3 and points.shape[1] >= k
+            and points.shape[1] <= _PALLAS_MAX_POINTS
         ) else "xla"
     if impl == "pallas":
         from .pallas.knn import pallas_knn_t
@@ -128,6 +138,7 @@ def within_radius(
     if impl == "auto":
         impl = "pallas" if (
             jax.default_backend() == "tpu" and points.ndim == 3 and x.ndim == 3
+            and points.shape[1] <= _PALLAS_MAX_POINTS
         ) else "xla"
     if impl == "pallas":
         from .pallas.knn import pallas_min_d2
@@ -159,6 +170,7 @@ def within_radius_t(
     if impl == "auto":
         impl = "pallas" if (
             jax.default_backend() == "tpu" and points.ndim == 3 and xt.ndim == 3
+            and points.shape[1] <= _PALLAS_MAX_POINTS
         ) else "xla"
     if impl == "pallas":
         from .pallas.knn import pallas_min_d2_t

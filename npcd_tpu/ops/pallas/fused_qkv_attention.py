@@ -64,6 +64,12 @@ from jax.experimental.pallas import tpu as pltpu
 # in base-2 units (m2 + log2(l)); it never leaves the fwd->bwd pair.
 _LOG2_E = 1.4426950408889634
 
+import os as _os
+
+# exact-parity escape hatch for the bf16 sum-dot softmax normalizer (see
+# _fwd_kernel): read once at import so the flag is jit-trace stable
+_NO_SUMDOT = _os.environ.get("NPCD_ATTN_NO_SUMDOT", "") not in ("", "0")
+
 
 def _heads_per_block(heads: int, d: int, groups: int = 1) -> int:
     """Largest per-program head count whose column width is lane-aligned.
@@ -137,7 +143,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
     # 2. Head software-pipelining: head h+1's QK^T is issued before head
     #    h's softmax/PV so Mosaic can overlap the MXU dot with the VPU
     #    softmax passes (heads are independent).
-    use_sumdot = d % 128 != 0  # ones column rides the existing lane pad
+    # NPCD_ATTN_NO_SUMDOT=1 disables the bf16 sum-dot normalizer (exact
+    # f32 row-sum instead) for parity-debugging/regression runs; the
+    # default deviation is bounded at <= 1 bf16 ulp (see note above) and
+    # measured faster, so production keeps it on.
+    use_sumdot = d % 128 != 0 and not _NO_SUMDOT  # ones column rides the lane pad
     aug_cols = d + ((-d) % 128)  # = round_up(d, 128) when use_sumdot
     if use_sumdot:
         ones = jnp.ones((s, 1), xv.dtype)

@@ -377,3 +377,66 @@ def test_aggregate_features_posenc_fused_matches_xla():
                                    rtol=1e-3, atol=1e-2, err_msg=f"dW{i}")
         np.testing.assert_allclose(np.asarray(gl["b"]), np.asarray(rl["b"]),
                                    rtol=1e-3, atol=1e-2, err_msg=f"db{i}")
+
+
+def test_agg_weight_cotangent_dead():
+    """The inverse-distance aggregation weights are non-differentiable in
+    EVERY aggregate_features impl (the gradient contract pinned in its
+    docstring): differentiating through shading_pts — the only input that
+    could reach w if it ever became trainable — must see zero flow through
+    the weights in the XLA path, so the wsum kernel's need_dw=False and the
+    fused path's stop_gradient can never diverge from it."""
+    from npcd_tpu.models.pointnerf.aggregator import aggregate_features
+    from npcd_tpu.models.pointnerf.nn_core import init_mlp
+    from npcd_tpu.utils.config import pointnerf_default_options
+
+    opts = pointnerf_default_options(num_points=16, feat_dim=8).aggregator
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    kp_pos = jax.random.uniform(k1, (2, 16, 3), minval=-0.4, maxval=0.4)
+    kp_feat = jax.random.normal(k2, (2, 16, 8)) * 0.1
+    shading_pts = jax.random.uniform(k3, (2, 12, 3), minval=-0.4, maxval=0.4)
+    pts_mask = jnp.ones((2, 12), bool)
+    from npcd_tpu.models.pointnerf.nn_core import posenc_dim
+    agg_in = 8 + posenc_dim(3, opts.n_freqs)
+    params = {"local_field": init_mlp(k4, opts.layers, agg_in, opts.out_dim)}
+
+    def loss(pts):
+        feat, _ = aggregate_features(
+            params, opts, 0.5, pts, pts_mask, kp_pos, kp_feat, impl="xla")
+        return (feat ** 2).sum()
+
+    # gradients through shading_pts still flow via the posenc(x_rel) MLP
+    # input (differentiable in the reference too) — but the w (inverse
+    # distance) path must be dead: the jvp of aggregate_features must
+    # equal a manual recompute where ONLY the w path is detached.
+    tangent = jax.random.normal(jax.random.PRNGKey(9), shading_pts.shape)
+    _, jvp_val = jax.jvp(loss, (shading_pts,), (tangent,))
+    # reference jvp with the posenc/MLP path live and w dead, computed
+    # manually: identical because aggregate_features detaches w
+    def loss_manual(pts):
+        from npcd_tpu.models.pointnerf.aggregator import (
+            gather_rows, knn_neighbors)
+        from npcd_tpu.models.pointnerf.nn_core import (
+            apply_mlp, positional_encoding)
+        idx, nb_mask = knn_neighbors(
+            jax.lax.stop_gradient(pts), pts_mask, kp_pos, opts.k, 0.5)
+        nb_pos = gather_rows(kp_pos, idx)
+        x_rel = pts[:, :, None, :] - nb_pos
+        dist = jnp.linalg.norm(
+            jax.lax.stop_gradient(x_rel), axis=-1)  # w path: DEAD
+        w = (1.0 / (dist + 1e-5)) * nb_mask.astype(dist.dtype)
+        w_sum = jnp.sum(w, axis=-1, keepdims=True)
+        w = jnp.where(w_sum > 0, w / w_sum, 0.0)
+        x_enc = positional_encoding(
+            x_rel, opts.n_freqs, opts.freq_mult, method=opts.posenc_method)
+        field_in = jnp.concatenate([gather_rows(kp_feat, idx), x_enc], -1)
+        b, n, kk = field_in.shape[:3]
+        lf = apply_mlp(params["local_field"], field_in.reshape(b, n * kk, -1),
+                       act=opts.activation).reshape(b, n, kk, -1)
+        feat = jnp.einsum("bnk,bnkc->bnc", w, lf)
+        return (feat ** 2).sum()
+
+    _, jvp_ref = jax.jvp(loss_manual, (shading_pts,), (tangent,))
+    np.testing.assert_allclose(float(jvp_val), float(jvp_ref),
+                               rtol=1e-5, atol=1e-7)

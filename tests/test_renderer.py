@@ -201,7 +201,7 @@ def test_posenc_anchored_matches_direct():
                            maxval=1)
     direct = positional_encoding(x, 10, method="direct")
     anc = positional_encoding(x, 10, method="anchored")
-    np.testing.assert_allclose(np.asarray(anc), np.asarray(direct), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(anc), np.asarray(direct), atol=2e-5)
     # anchor octaves (0 and 5) are bitwise equal to direct. Layout:
     # [x (3 cols) | per-dim 20-col blocks of [sin0..9, cos0..9]]
     d_np, a_np = np.asarray(direct), np.asarray(anc)
