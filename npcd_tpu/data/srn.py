@@ -172,15 +172,20 @@ def _read_split(split: str, blacklist: Optional[str]) -> List[Tuple[str, str, in
 
 @register_dataset
 class SRNCarsTrain(SRNTrain):
-    def __init__(self, root: Optional[str] = None, **kwargs):
+    def __init__(self, root: Optional[str] = None, sample_list=None, **kwargs):
         root = root if root is not None else get_path("srn", "root")
-        sample_list = _read_split("cars_train", "srn_cars_blacklist.list")
+        if sample_list is None:
+            sample_list = _read_split("cars_train", "srn_cars_blacklist.list")
         super().__init__(root=root, sample_list=sample_list, **kwargs)
 
 
 @register_dataset
 class SRNChairsTrain(SRNTrain):
-    def __init__(self, root: Optional[str] = None, **kwargs):
+    # The reference ships no chairs sample list (only srn_cars_*.list);
+    # `sample_list` lets callers/tests supply one explicitly until the SRN
+    # chairs split file is staged (see ASSETS.md).
+    def __init__(self, root: Optional[str] = None, sample_list=None, **kwargs):
         root = root if root is not None else get_path("srn", "root")
-        sample_list = _read_split("chairs_train", None)
+        if sample_list is None:
+            sample_list = _read_split("chairs_train", None)
         super().__init__(root=root, sample_list=sample_list, **kwargs)
