@@ -45,11 +45,14 @@ def sample_feats(
     table: jnp.ndarray,
     obj_idx: jnp.ndarray,
     rng: jax.Array | None,
+    eps: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Training-mode reparametrized sample (rng given) or eval-mode mean
-    (rng None)."""
+    (rng None). `eps` overrides the standard-normal draw with an explicit
+    [B, P, F] tensor (matched-draw parity experiments, tools/ref_dynamics.py)."""
     mean, _, std = feats_mean_log_var_std(table, obj_idx)
-    if rng is None:
+    if rng is None and eps is None:
         return mean
-    eps = jax.random.normal(rng, std.shape, std.dtype)
+    if eps is None:
+        eps = jax.random.normal(rng, std.shape, std.dtype)
     return mean + std * eps

@@ -170,6 +170,7 @@ class PointNeRF:
         ray_chunk: int,
         select_rays: Optional[int] = None,
         kp_weights: bool = False,
+        draws: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, jnp.ndarray]:
         o = self.opts
         i_dim, r_dim = rays_o.shape[:2]
@@ -189,6 +190,7 @@ class PointNeRF:
             ray_start, ray_end, o.renderer.depth_resolution,
             rng_jitter if train else None,
             disparity=o.renderer.disparity_space_sampling,
+            jitter=draws.get("depth_jitter") if draws else None,
         )  # [I, R, S]
 
         if self.cfg.validity == "voxel":
@@ -212,6 +214,14 @@ class PointNeRF:
                 o.knn_radius,
             ).reshape(depths.shape)
         depths_c, pts_mask = compact_valid_samples(valid, depths, m)  # [I, R, M]
+
+        if draws is not None and "ray_mask" in draws:
+            # matched-draw injection (tools/ref_dynamics.py): restrict the
+            # trainable ray set to an externally chosen subset — rays
+            # outside it become 'invalid' (excluded from shading and from
+            # the masked recon mean), emulating the reference's
+            # subsample_valid_rays selection with its exact draws.
+            pts_mask = jnp.logical_and(pts_mask, draws["ray_mask"][..., None])
 
         sel_idx = None
         if select_rays is not None:
@@ -523,6 +533,7 @@ class PointNeRF:
         rng: Optional[jax.Array] = None,
         train: bool = False,
         resolution: Optional[int] = None,
+        draws: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """Autodecoder forward (reference pointnerf.py:56-105).
 
@@ -530,6 +541,13 @@ class PointNeRF:
         depth jitter (requires rng). Returns (pred, aux); pred tensors are
         [B, V, R, ...] with R = cfg.train_rays (train) or res^2 (eval);
         pred['ray_idx'] gives the flat pixel index of each ray.
+
+        `draws` (matched-draw parity experiments, tools/ref_dynamics.py)
+        overrides individual random draws with explicit tensors recorded
+        from the reference trainer: 'feats_eps' [B, P, F] variational
+        noise, 'pixel_idx' [R_pre] shared presampled pixels,
+        'depth_jitter' [B*V, R_pre, S] in [0,1), 'ray_mask' [B*V, R_pre]
+        selected-ray subset.
         """
         o = self.opts
         res = resolution or o.default_resolution
@@ -541,7 +559,10 @@ class PointNeRF:
             rng_feat, rng_perm, rng_core = jax.random.split(rng, 3)
 
         coords = embeddings.lookup_coords(params["coords_table"], obj_idx)
-        feats = embeddings.sample_feats(params["feats_table"], obj_idx, rng_feat)
+        feats = embeddings.sample_feats(
+            params["feats_table"], obj_idx, rng_feat,
+            eps=draws.get("feats_eps") if draws else None,
+        )
         f_mean, f_log_var, f_std = embeddings.feats_mean_log_var_std(
             params["feats_table"], obj_idx
         )
@@ -559,9 +580,12 @@ class PointNeRF:
         if train and o.renderer.ray_subsamples:
             # One shared random pixel subset across all instances
             # (reference renderer.py:232-238); only those rays are generated.
-            pixel_idx = jax.random.permutation(rng_perm, res * res)[
-                : o.renderer.ray_subsamples
-            ]
+            if draws is not None and "pixel_idx" in draws:
+                pixel_idx = draws["pixel_idx"]
+            else:
+                pixel_idx = jax.random.permutation(rng_perm, res * res)[
+                    : o.renderer.ray_subsamples
+                ]
             ray_idx = pixel_idx  # [R_pre]
         rays_o, rays_d = generate_rays(
             extrinsics.reshape(i_dim, 4, 4), intrinsics.reshape(i_dim, 3, 3),
@@ -589,6 +613,7 @@ class PointNeRF:
             max_shading_pts=o.aggregator.max_shading_pts,
             ray_chunk=self.cfg.train_ray_chunk if train else self.cfg.eval_ray_chunk,
             select_rays=self.cfg.train_rays if train else None,
+            draws=draws,
         )
 
         reshape = lambda a: a.reshape(b, v, *a.shape[1:])

@@ -29,11 +29,14 @@ def sample_depths(
     depth_resolution: int,
     rng: Optional[jax.Array] = None,
     disparity: bool = False,
+    jitter: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """ray_start/ray_end: [...] -> depths [..., S], uniform inclusive
     linspace; jittered by U[0, delta) per sample when rng is given.
     disparity=True samples uniformly in inverse depth instead
-    (reference renderer.py:60-67; off in the SRN config)."""
+    (reference renderer.py:60-67; off in the SRN config). `jitter`
+    overrides the uniform draw with an explicit [..., S] tensor in [0, 1)
+    (matched-draw parity experiments, tools/ref_dynamics.py)."""
     steps = jnp.arange(depth_resolution, dtype=jnp.float32) / (depth_resolution - 1)
     if disparity:
         t = steps
@@ -46,9 +49,11 @@ def sample_depths(
         )
         return depths
     depths = ray_start[..., None] + steps * (ray_end - ray_start)[..., None]
-    if rng is not None:
+    if rng is not None or jitter is not None:
         delta = ((ray_end - ray_start) / (depth_resolution - 1))[..., None]
-        depths = depths + jax.random.uniform(rng, depths.shape) * delta
+        if jitter is None:
+            jitter = jax.random.uniform(rng, depths.shape)
+        depths = depths + jitter * delta
     return depths
 
 

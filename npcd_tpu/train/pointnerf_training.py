@@ -69,6 +69,9 @@ def make_pointnerf_train_step(
                 batch["extrinsics"],
                 rng=rng,
                 train=True,
+                # matched-draw parity experiments (tools/ref_dynamics.py)
+                # inject recorded reference draws via an optional subdict
+                draws=batch.get("draws"),
             )
             total, sub_losses = pointnerf_loss(
                 batch, pred, aux, model.opts, loss_weights

@@ -214,6 +214,259 @@ def run_stage1(steps: int, seed: int = 0):
     }
 
 
+def run_stage1_matched(steps: int, seed: int = 0):
+    """Matched-draw stage-1 comparison: record the reference trainer's
+    actual random draws (variational eps, shared pixel randperm, depth
+    jitter, subsample_valid_rays selection, DataLoader batch order) and
+    inject them into the JAX step via PointNeRF.forward(draws=...), so RNG
+    is eliminated and only semantics remain. With matched draws the two
+    trainers optimize the SAME stochastic objective realization; any
+    trajectory gap is a semantic difference, not sampling noise.
+
+    Reference draw sites (all torch global RNG, CPU):
+      * VariationalEmbedding randn_like (variational_embedding.py:54)
+      * renderer randperm(res^2)[:ray_subsamples] (renderer.py:233)
+      * Renderer.sample rand_like depth jitter (renderer.py:74-76; train()
+        sets randomize_depth_samples=True, pointnerf.py:29-32)
+      * Aggregator.subsample_valid_rays randperm (aggregator.py:96) —
+        captured via pred['ray_idx'] (the resulting pixel selection)
+      * DataLoader shuffle — captured via sample['obj_idx']
+    """
+    import torch
+
+    from tools.ref_oracle.harness import (
+        TinyGeometry, build_ref_pointnerf, tpu_pointnerf_from_ref,
+    )
+    from tools.ref_oracle.shims import import_reference
+
+    import_reference()
+    from npcd.data.dataset import Dataset as RefDataset, Sample as RefSample
+    from npcd.losses import PointNeRFLoss as RefPointNeRFLoss
+    from npcd.train.pointnerf_training import (
+        PointNeRFTraining as RefPointNeRFTraining,
+    )
+
+    geom = TinyGeometry(resolution=16)
+    n_views = 2
+    res = geom.resolution
+    r_pre = geom.renderer_ray_subsamples
+
+    from npcd_tpu.data import create_dataset
+
+    ds = create_dataset(
+        "SyntheticNPCTrain", n_obj=geom.n_obj, num_views=n_views,
+        image_size=res, num_points=geom.num_points, seed=seed,
+        verbose=False,
+    )
+
+    class StaticSample(RefSample):
+        def __init__(self, d):
+            self.d = d
+
+        def load(self, root):
+            return self.d
+
+    class RefSynthetic(RefDataset):
+        def _init_samples(self):
+            for s in ds.samples:
+                img = np.asarray(s["images"], np.float32)
+                self.samples.append(StaticSample({
+                    "obj_idx": np.int64(s["obj_idx"]),
+                    "images": img.reshape(n_views, res, res, 3)
+                              .transpose(0, 3, 1, 2).copy(),
+                    "intrinsics": np.asarray(s["intrinsics"], np.float32),
+                    "extrinsics": np.asarray(s["extrinsics"], np.float32),
+                }))
+
+        def get_all_coords(self):
+            return torch.from_numpy(np.asarray(ds.get_all_coords(), np.float32))
+
+    ref_ds = RefSynthetic(root=None, verbose=False)
+    pn_ref = build_ref_pointnerf(geom, seed=seed)
+    pn, params = tpu_pointnerf_from_ref(pn_ref, geom)
+
+    class RefModelWrapper(torch.nn.Module):
+        def __init__(self, pointnerf):
+            super().__init__()
+            self.pointnerf = pointnerf
+
+    wrapper = RefModelWrapper(pn_ref)
+
+    # ---- draw-recording hooks ------------------------------------------
+    rec_steps = []
+    cur = {"randperms": [], "rand_likes": [], "randn_likes": []}
+    orig_randperm = torch.randperm
+    orig_rand_like = torch.rand_like
+    orig_randn_like = torch.randn_like
+
+    def randperm_hook(n, *a, **k):
+        out = orig_randperm(n, *a, **k)
+        cur["randperms"].append((int(n), out.clone().numpy()))
+        return out
+
+    def rand_like_hook(t, *a, **k):
+        out = orig_rand_like(t, *a, **k)
+        cur["rand_likes"].append(out.clone().numpy())
+        return out
+
+    def randn_like_hook(t, *a, **k):
+        out = orig_randn_like(t, *a, **k)
+        cur["randn_likes"].append(out.clone().numpy())
+        return out
+
+    ref_losses = []
+
+    class DrawRecorder(torch.nn.Module):
+        """Flush the draws accumulated during the preceding forward, plus
+        the batch order and the resulting ray selection."""
+
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, **kw):
+            loss, sub, pw = self.inner(**kw)
+            ref_losses.append(float(loss.detach()))
+            rec_steps.append({
+                "obj_idx": kw["sample"]["obj_idx"].numpy().copy(),
+                "ray_idx": kw["pred"]["ray_idx"].detach().numpy().copy(),
+                "sub": {k: float(v) for k, v in sub.items()},
+                **{k: list(v) for k, v in cur.items()},
+            })
+            for v in cur.values():
+                v.clear()
+            return loss, sub, pw
+
+    lw = (1.0, 1e-7, 3.5e-7)
+    loss = DrawRecorder(RefPointNeRFLoss(
+        model=wrapper, image_reconstruction_loss_weight=lw[0],
+        neural_point_cloud_kl_loss_weight=lw[1],
+        neural_point_cloud_tv_loss_weight=lw[2], verbose=False,
+    ))
+
+    lr = 1e-3
+    torch.manual_seed(seed + 100)
+    torch.randperm = randperm_hook
+    torch.rand_like = rand_like_hook
+    torch.randn_like = randn_like_hook
+    t0 = time.time()
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            training = RefPointNeRFTraining(
+                out_dir=tmp, model=wrapper, dataset=ref_ds, loss=loss,
+                batch_size=geom.n_obj, base_learning_rate=lr,
+                max_epochs=steps, num_workers=0,
+                print_interval=max(1, steps // 4), log_loss_interval=10**9,
+                log_interval=10**9, save_checkpoint_interval_min=10**9,
+                verbose=False,
+            )
+            training._log_all = lambda *a, **k: None
+            training()
+    finally:
+        torch.randperm = orig_randperm
+        torch.rand_like = orig_rand_like
+        torch.randn_like = orig_randn_like
+    ref_sec = time.time() - t0
+    assert len(rec_steps) == steps, (len(rec_steps), steps)
+
+    # ---- parse the recorded draws per step ------------------------------
+    def parse_step(rec):
+        # variational eps: the [B, P, F] randn (the only randn_like drawn
+        # inside the training forward)
+        eps = [a for a in rec["randn_likes"]
+               if a.shape == (geom.n_obj, geom.num_points, geom.feat_dim)]
+        assert len(eps) == 1, [a.shape for a in rec["randn_likes"]]
+        # pixel subset: the first randperm over res^2 (a leading
+        # randperm(n_obj) from the DataLoader shuffle may precede it at
+        # epoch starts; subsample_valid_rays' perm over total_valid comes
+        # after and is recovered from ray_idx instead)
+        pix = [p for (n, p) in rec["randperms"] if n == res * res]
+        assert len(pix) >= 1, [n for n, _ in rec["randperms"]]
+        pixel_idx = pix[0][:r_pre].astype(np.int32)
+        # depth jitter: rand_like over [B*V, r_pre, S, 1]
+        jit = [a for a in rec["rand_likes"]
+               if a.shape == (geom.n_obj * n_views, r_pre,
+                              geom.depth_resolution, 1)]
+        assert len(jit) == 1, [a.shape for a in rec["rand_likes"]]
+        # ray selection -> [B, V, r_pre] mask over pixel_idx positions
+        pos = {int(p): r for r, p in enumerate(pixel_idx)}
+        ray_idx = rec["ray_idx"]  # [B, V, num_samples, 1]
+        mask = np.zeros((geom.n_obj, n_views, r_pre), np.bool_)
+        for b in range(ray_idx.shape[0]):
+            for v in range(ray_idx.shape[1]):
+                for p in ray_idx[b, v, :, 0]:
+                    mask[b, v, pos[int(p)]] = True
+        return {
+            "feats_eps": eps[0].astype(np.float32),
+            "pixel_idx": pixel_idx,
+            "depth_jitter": jit[0][..., 0].astype(np.float32),
+            "ray_mask": mask,
+        }, rec["obj_idx"].astype(np.int32), int(ray_idx.shape[2])
+
+    # ---- npcd_tpu side: same jitted step, injected draws ----------------
+    import jax
+    import jax.numpy as jnp
+
+    from npcd_tpu.losses import PointNeRFLossWeights
+    from npcd_tpu.train.pointnerf_training import (
+        PointNeRFTrainState, make_pointnerf_optimizer, make_pointnerf_train_step,
+    )
+
+    params = pn.set_all_coords(params, ds.get_all_coords())
+    tx = make_pointnerf_optimizer(lr)
+    state = PointNeRFTrainState(
+        params=params, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step_fn = make_pointnerf_train_step(pn, tx, PointNeRFLossWeights(*lw))
+
+    images = np.stack([s["images"] for s in ds.samples])
+    intr = np.stack([s["intrinsics"] for s in ds.samples])
+    extr = np.stack([s["extrinsics"] for s in ds.samples])
+
+    rng = jax.random.PRNGKey(seed + 200)  # consumed only by the dead
+    # residual draws (the top-k selection score, which with ray_mask
+    # injected only permutes the masked ray set)
+    tpu_losses = []
+    num_samples_per_step = []
+    t0 = time.time()
+    for it in range(steps):
+        draws, obj_order, n_sel = parse_step(rec_steps[it])
+        num_samples_per_step.append(n_sel)
+        batch = {
+            "obj_idx": jnp.asarray(obj_order),
+            "images": jnp.asarray(images[obj_order]),
+            "intrinsics": jnp.asarray(intr[obj_order]),
+            "extrinsics": jnp.asarray(extr[obj_order]),
+            "draws": {
+                "feats_eps": jnp.asarray(draws["feats_eps"]),
+                "pixel_idx": jnp.asarray(draws["pixel_idx"]),
+                "depth_jitter": jnp.asarray(
+                    draws["depth_jitter"]),
+                "ray_mask": jnp.asarray(draws["ray_mask"].reshape(
+                    geom.n_obj * n_views, r_pre)),
+            },
+        }
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, it))
+        tpu_losses.append(float(metrics["loss"]))
+    tpu_sec = time.time() - t0
+
+    ref_l, tpu_l = np.asarray(ref_losses), np.asarray(tpu_losses)
+    per_step_rel = np.abs(tpu_l - ref_l) / np.maximum(np.abs(ref_l), 1e-12)
+    stats = band_stats(ref_losses, tpu_losses)
+    return {
+        "mode": "matched_draws",
+        "geometry": {f: getattr(geom, f) for f in geom.__dataclass_fields__},
+        "lr": lr, "loss_weights": lw,
+        "ref_losses": ref_losses, "tpu_losses": tpu_losses,
+        "num_samples_per_step": num_samples_per_step,
+        "per_step_rel_dev_mean": float(per_step_rel.mean()),
+        "per_step_rel_dev_max": float(per_step_rel.max()),
+        "ref_sec": ref_sec, "tpu_sec": tpu_sec,
+        **stats,
+    }
+
+
 # ---------------------------------------------------------------------------
 # stage 2
 # ---------------------------------------------------------------------------
@@ -344,6 +597,11 @@ def main(argv=None):
     p.add_argument("--stage", choices=["1", "2", "both"], default="both")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--matched", action="store_true",
+                   help="Matched-draw stage-1 mode: record the reference "
+                        "trainer's RNG draws and inject them into the JAX "
+                        "step (eliminates sampling noise; only semantic "
+                        "differences remain)")
     p.add_argument("--num-seeds", type=int, default=1,
                    help="Run seeds seed..seed+N-1 and report per-seed stats "
                         "(separates cross-framework gap from RNG noise band)")
@@ -361,7 +619,8 @@ def main(argv=None):
     out = {"steps": args.steps, "seed": args.seed,
            "num_seeds": args.num_seeds}
     seeds = list(range(args.seed, args.seed + args.num_seeds))
-    for stage, runner in (("stage1", run_stage1), ("stage2", run_stage2)):
+    stage1_runner = run_stage1_matched if args.matched else run_stage1
+    for stage, runner in (("stage1", stage1_runner), ("stage2", run_stage2)):
         if args.stage not in (stage[-1], "both"):
             continue
         print(f"== {stage}: reference training vs npcd_tpu ==")

@@ -71,12 +71,20 @@ def build_ref_pointnerf(geom: TinyGeometry, seed: int = 0):
 
 def ref_state_numpy(model) -> Dict[str, Any]:
     """state_dict with tensors converted to numpy (nested extra-state dicts
-    handled by convert_reference's np.asarray calls)."""
+    handled by convert_reference's np.asarray calls).
+
+    MUST deep-copy: `.numpy()` on a CPU tensor shares storage with the live
+    torch parameter, and downstream np.asarray/transpose keep that view, so
+    any in-place torch update (an optimizer step, set_all_coords's copy_)
+    would silently mutate the 'converted' JAX params. This exact aliasing
+    made ref_dynamics.py's stage-1 comparison start the JAX trainer from
+    the reference's POST-training weights (the r03 'TPU ends 20% lower'
+    deviation — a harness bug, not a framework difference)."""
     import torch
 
     def conv(v):
         if torch.is_tensor(v):
-            return v.detach().cpu().numpy()
+            return v.detach().cpu().numpy().copy()
         if isinstance(v, dict):
             return {k: conv(x) for k, x in v.items()}
         return v
