@@ -36,6 +36,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLK = 1024
 
+# Separate pair-block caps for the posenc fwd/bwd kernels (A/B-tunable via
+# env, read at import). The bwd's VMEM high-water (per-layer residuals +
+# f32 dW accumulators) caps its block at 1024 (2048 fails to compile);
+# the fwd keeps only one live activation, so larger blocks amortize
+# per-program overhead. Measured v5e (tools/ab_blk.py, production shapes
+# b=400 m=14336 k=8): fwd 21.23 ms @1024 -> 20.50 @2048 -> 20.09 @3584
+# -> 19.77 @7168 (vs ~16.7 ms MXU floor); bwd-only 52.93 ms at 1024.
+import os as _os
+
+_BLK_FWD = int(_os.environ.get("NPCD_FUSED_MLP_BLK_FWD", 7168))
+_BLK_BWD = int(_os.environ.get("NPCD_FUSED_MLP_BLK_BWD", _BLK))
+
 
 def _act(h):
     return jnp.maximum(h, 0.01 * h)
@@ -142,8 +154,8 @@ def _flat_weights(weights):
     return flat
 
 
-def _grid_and_blk(b, m):
-    blk = min(_BLK, m)
+def _grid_and_blk(b, m, cap=_BLK):
+    blk = min(cap, m)
     return (b, pl.cdiv(m, blk)), blk
 
 
@@ -495,12 +507,12 @@ def _round_up8(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _wsum_grid(b, m, k):
+def _wsum_grid(b, m, k, cap=_BLK):
     """Grid/block for the reduced variant: the pair block must hold whole
     points (k | blk) and the reduced output block must stay sublane-aligned
     (8k | blk)."""
     unit = 8 * k
-    blk = (min(_BLK, m) // unit) * unit
+    blk = (min(cap, m) // unit) * unit
     if blk == 0:
         return None, 0
     return (b, pl.cdiv(m, blk)), blk
@@ -520,14 +532,14 @@ def _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
     w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
     kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
     if reduce_k:
-        grid, blk = _wsum_grid(b, m, reduce_k)
+        grid, blk = _wsum_grid(b, m, reduce_k, cap=_BLK_FWD)
         out_shape = jax.ShapeDtypeStruct((b, m // reduce_k, d_out),
                                          feat_t.dtype)
         out_spec = pl.BlockSpec((1, blk // reduce_k, d_out),
                                 lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        grid, blk = _grid_and_blk(b, m)
+        grid, blk = _grid_and_blk(b, m, cap=_BLK_FWD)
         out_shape = jax.ShapeDtypeStruct((b, m, d_out), feat_t.dtype)
         out_spec = pl.BlockSpec((1, blk, d_out), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -554,12 +566,12 @@ def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
     w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
     kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
     if reduce_k:
-        grid, blk = _wsum_grid(b, m, reduce_k)
+        grid, blk = _wsum_grid(b, m, reduce_k, cap=_BLK_BWD)
         g_spec = pl.BlockSpec((1, blk // reduce_k, g.shape[-1]),
                               lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
     else:
-        grid, blk = _grid_and_blk(b, m)
+        grid, blk = _grid_and_blk(b, m, cap=_BLK_BWD)
         g_spec = pl.BlockSpec((1, blk, g.shape[-1]), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
     col = lambda d: pl.BlockSpec((1, d, blk), lambda i, j: (i, 0, j),
