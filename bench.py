@@ -491,6 +491,11 @@ def main():
     parser.add_argument("--mesh", action="store_true",
                         help="also measure DP scaling of the stage-2 step over "
                              "all local devices (no-op on a single device)")
+    parser.add_argument("--only", default=None,
+                        choices=["denoiser", "render", "stage1"],
+                        help="measure a single section (for kernel A/Bs); "
+                             "prints that section's number to stderr and a "
+                             "reduced JSON line, NOT a driver-grade capture")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                         help="force a jax backend in-process (the axon "
                              "plugin ignores the JAX_PLATFORMS env var); "
@@ -520,6 +525,26 @@ def main():
         preset = "full" if backend == "tpu" else "tiny"
 
     import sys
+
+    if args.only:
+        import json as _json
+
+        if args.only == "denoiser":
+            v, _, bd = bench_denoiser_steps(preset, with_sampler=False)
+            out = {"metric": "denoiser_steps_per_sec", "value": round(v, 4)}
+            if bd:
+                out["op_breakdown"] = bd
+        elif args.only == "render":
+            out = {"metric": "render_rays_per_sec",
+                   "value": round(bench_render_rays(preset), 1)}
+        else:
+            v, rays, bd = bench_stage1_steps(preset)
+            out = {"metric": "stage1_steps_per_sec", "value": round(v, 3),
+                   "train_rays_per_sec": round(rays, 1)}
+            if bd:
+                out["stage1_op_breakdown"] = bd
+        print(_json.dumps(out))
+        return
 
     steps_per_sec, sampler_steps, op_breakdown = bench_denoiser_steps(preset, with_sampler=args.sampler)
     note = f" sampler steps/s: {sampler_steps:.1f}" if sampler_steps else ""

@@ -20,6 +20,7 @@ neighbor features only.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -111,6 +112,36 @@ def _gather_cols_bwd(res, g):
 gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pack_rows(table: jnp.ndarray, rank: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Scatter rows to their target positions: out[b, rank[b, n]] =
+    table[b, n] for rank[b, n] < cap (one-hot MXU matmul; ranks >= cap
+    produce all-zero one-hot rows, i.e. those table rows are dropped).
+
+    The inverse of gather_rows(out, rank): packs a dense slot table to a
+    fixed budget using the DESTINATION index per source row, so no source
+    index list (and no argsort producing one) is ever needed. Same
+    s32-only-residual backward as gather_rows — dtable is the expand
+    gather."""
+    onehot = jax.nn.one_hot(rank, cap, dtype=table.dtype)  # [B, N, cap]
+    return jnp.einsum("bnp,bnc->bpc", onehot, table)
+
+
+def _pack_rows_fwd(table, rank, cap):
+    token = jnp.zeros((0,), table.dtype)
+    return pack_rows(table, rank, cap), (rank, token)
+
+
+def _pack_rows_bwd(cap, res, g):
+    rank, token = res
+    onehot = jax.nn.one_hot(rank, cap, dtype=token.dtype)
+    dtable = jnp.einsum("bnp,bpc->bnc", onehot, g.astype(token.dtype))
+    return dtable, None
+
+
+pack_rows.defvjp(_pack_rows_fwd, _pack_rows_bwd)
+
+
 def knn_neighbors(
     shading_pts: jnp.ndarray,
     pts_mask: jnp.ndarray,
@@ -141,6 +172,7 @@ def aggregate_features(
     neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     return_weights: bool = False,
     impl: str = "auto",
+    diff_pts: bool = False,
 ):
     """Per-shading-point aggregated features.
 
@@ -164,15 +196,19 @@ def aggregate_features(
 
     Gradient contract: the inverse-distance aggregation weights are
     NON-DIFFERENTIABLE in every impl (explicit stop_gradient in the XLA
-    and fused paths; need_dw=False in the wsum kernel). This matches the
-    reference exactly today — kp_pos is detached (detach_points=True,
+    and fused paths; need_dw=False in the wsum kernel), and by default
+    (diff_pts=False) so is x_rel — the shading-point cotangent through
+    this function is structurally zero (need_dp=False lets the wsum
+    kernel skip its dpos output + posenc derivative chain). This matches
+    the reference exactly today — kp_pos is detached (detach_points=True,
     aggregators/mlp.py:58-59) and shading_pts derives from cameras/depths
     with no trainable ancestors (the coords table is frozen, reference
-    pointnerf.py:22-24) — and it pins all three runtime-selected paths to
-    the same semantics if shading points ever become trainable (they
-    would need a deliberate contract change here, not a silent per-path
-    divergence; tests/test_fused_mlp.py::test_agg_weight_cotangent_dead
-    pins this).
+    pointnerf.py:22-24). Pass diff_pts=True to restore the reference's
+    full autodiff through shading points (posenc/MLP-input path live, w
+    still dead) in every impl — trainable shading points need that
+    deliberate flag, not a silent per-path divergence;
+    tests/test_fused_mlp.py::test_agg_weight_cotangent_dead pins both
+    contracts.
     """
     kp_pos = jax.lax.stop_gradient(kp_pos)  # detach_points=True
 
@@ -200,7 +236,7 @@ def aggregate_features(
     if impl == "posenc_fused":
         return _aggregate_posenc_fused(
             params, opts, shading_pts, pts_mask, kp_pos, kp_feat,
-            compute_dtype, idx, nb_mask, return_weights)
+            compute_dtype, idx, nb_mask, return_weights, diff_pts)
 
     # Neighbor gather as one-hot MXU matmuls: row-gathers of 3/F-wide rows
     # run on the scalar core at ~60 cycles/row (measured 350 ms/step at the
@@ -215,6 +251,10 @@ def aggregate_features(
     ).astype(kp_feat.dtype)  # [B, N, k, F]
 
     x_rel = shading_pts[:, :, None, :] - nb_pos  # [B, N, k, 3]
+    if not diff_pts:
+        # default contract: x_rel non-differentiable in every impl (see
+        # docstring; kp_pos detached, shading points camera/depth-derived)
+        x_rel = jax.lax.stop_gradient(x_rel)
     dist = jnp.linalg.norm(x_rel, axis=-1)
     w = (1.0 / (dist + 1e-5)) * nb_mask.astype(dist.dtype)  # [B, N, k]
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
@@ -247,7 +287,7 @@ def aggregate_features(
 
 def _aggregate_posenc_fused(
     params, opts, shading_pts, pts_mask, kp_pos, kp_feat,
-    compute_dtype, idx, nb_mask, return_weights,
+    compute_dtype, idx, nb_mask, return_weights, diff_pts=False,
 ):
     """TPU production path of aggregate_features: transposed gathers feed
     the posenc-fused MLP kernel (ops/pallas/fused_mlp.py fused_mlp_posenc).
@@ -286,6 +326,14 @@ def _aggregate_posenc_fused(
     x_t = jnp.swapaxes(shading_pts, 1, 2)  # [B, 3, N]
     x_rel_t = (x_t[:, :, :, None] - nb_pos_t.reshape(b_dim, 3, n_dim, k_dim)
                ).reshape(b_dim, 3, m_flat)  # [B, 3, M] f32
+    if not diff_pts:
+        # default contract: x_rel non-differentiable in every impl (see
+        # aggregate_features' docstring) — kp_pos is detached above and
+        # shading points derive from cameras/depths with no trainable
+        # ancestors, so its cotangent is structurally dead; making that
+        # explicit lets the wsum kernel skip the dpos output + posenc
+        # derivative chain (need_dp below) without per-path divergence.
+        x_rel_t = jax.lax.stop_gradient(x_rel_t)
 
     dist = jnp.sqrt(jnp.sum(x_rel_t * x_rel_t, axis=1)
                     ).reshape(b_dim, n_dim, k_dim)
@@ -314,7 +362,7 @@ def _aggregate_posenc_fused(
         # the XLA path.
         feat = fused_mlp_posenc_wsum(
             feat_t, pos_t, weights, k_dim, opts.n_freqs, opts.freq_mult,
-            True, opts.posenc_method, need_dw=False,
+            True, opts.posenc_method, need_dw=False, need_dp=diff_pts,
         )  # [B, N, out_dim]
     else:
         pos_t = jnp.pad(x_rel_t, ((0, 0), (0, 5), (0, 0)))  # [B, 8, M]

@@ -351,7 +351,7 @@ class PointNeRF:
                 # grid; expand (one-hot-matmul gather through the slot
                 # ranks) before ray marching. Gradients flow through the
                 # same gathers (gather_rows has a matmul custom_vjp).
-                from .aggregator import gather_rows
+                from .aggregator import gather_rows, pack_rows
 
                 flat_mask = pts_mask.reshape(i_dim, r_dim * m)
                 # pack valid slots first, ordered by within-ray sample index
@@ -361,12 +361,26 @@ class PointNeRF:
                 # silently zero out entire trailing rays. The packed order is
                 # irrelevant downstream (the rank gather restores slot
                 # positions before ray marching).
-                sample_j = jnp.tile(jnp.arange(m), r_dim)[None, :]  # [1, R*M]
-                key = jnp.where(flat_mask, sample_j, m)
-                order = jnp.argsort(key, axis=1, stable=True)
-                sel = order[:, :cap]  # [I, cap]
-                rank = jnp.argsort(order, axis=1)  # [I, R*M] slot -> packed pos
-                n_valid = jnp.sum(flat_mask, axis=1)
+                #
+                # The sample-major key takes only m+1 distinct values, so the
+                # packed position of every slot is a COUNTING sort — three
+                # cumsums — not a comparison sort (the two stable argsorts
+                # over [I, R*M] keys this replaces measured ~4 ms/step):
+                #   valid (r, j):  #valid with sample < j  (offset_j)
+                #                + #valid rays before r at sample j (prefix_r)
+                #   invalid:       n_valid + #invalid before it in flat order
+                mask_i = pts_mask.astype(jnp.int32)  # [I, R, m]
+                cnt_j = jnp.sum(mask_i, axis=1)  # [I, m]
+                offset_j = jnp.cumsum(cnt_j, axis=1) - cnt_j  # exclusive
+                prefix_r = jnp.cumsum(mask_i, axis=1) - mask_i  # [I, R, m]
+                n_valid = jnp.sum(cnt_j, axis=1)  # [I]
+                inv_i = 1 - mask_i.reshape(i_dim, r_dim * m)
+                inv_prefix = jnp.cumsum(inv_i, axis=1) - inv_i
+                rank = jnp.where(
+                    flat_mask,
+                    (offset_j[:, None, :] + prefix_r).reshape(i_dim, -1),
+                    n_valid[:, None] + inv_prefix,
+                )  # [I, R*M] slot -> packed pos
                 c_mask = jnp.arange(cap)[None, :] < jnp.minimum(n_valid, cap)[:, None]
                 # one fused gather of dense sample points (+ ray dirs when
                 # the field is view-dependent): three separate one-hot
@@ -384,11 +398,11 @@ class PointNeRF:
                                           ).reshape(i_dim, r_dim * m, 3)],
                         axis=-1,
                     )  # [I, R*M, 6]
-                    packed_in = gather_rows(table, sel)  # [I, cap, 6]
+                    packed_in = pack_rows(table, rank, cap)  # [I, cap, 6]
                     c_pts = packed_in[..., :3]
                     c_rayd = packed_in[..., 3:6]
                 else:
-                    c_pts = gather_rows(pts_all, sel)  # [I, cap, 3]
+                    c_pts = pack_rows(pts_all, rank, cap)  # [I, cap, 3]
                     c_rayd = jnp.zeros_like(c_pts)
                 nb_idx, nb_mask = knn_neighbors(
                     c_pts, c_mask, kp_pos, o.aggregator.k, o.knn_radius

@@ -37,16 +37,27 @@ from jax.experimental.pallas import tpu as pltpu
 _BLK = 1024
 
 # Separate pair-block caps for the posenc fwd/bwd kernels (A/B-tunable via
-# env, read at import). The bwd's VMEM high-water (per-layer residuals +
-# f32 dW accumulators) caps its block at 1024 (2048 fails to compile);
-# the fwd keeps only one live activation, so larger blocks amortize
-# per-program overhead. Measured v5e (tools/ab_blk.py, production shapes
-# b=400 m=14336 k=8): fwd 21.23 ms @1024 -> 20.50 @2048 -> 20.09 @3584
-# -> 19.77 @7168 (vs ~16.7 ms MXU floor); bwd-only 52.93 ms at 1024.
+# env, read at import). The bwd's VMEM high-water (pre-activation
+# residuals + f32 dW accumulators) caps its block at 2048 (3584 needs
+# 25.7M vs the 16M scoped-vmem limit; 2048 only fits since the r04b
+# residual slimming — act(z) re-derived in the backward walk); the fwd
+# keeps only one live activation, so larger blocks amortize per-program
+# overhead. Measured v5e (tools/ab_blk.py, production shapes b=400
+# m=14336 k=8): fwd 21.23 ms @1024 -> 20.50 @2048 -> 20.09 @3584
+# -> 19.77 @7168 (vs ~16.7 ms MXU floor); bwd-only 51.85 ms @1024 ->
+# 51.34 @2048.
 import os as _os
 
 _BLK_FWD = int(_os.environ.get("NPCD_FUSED_MLP_BLK_FWD", 7168))
-_BLK_BWD = int(_os.environ.get("NPCD_FUSED_MLP_BLK_BWD", _BLK))
+_BLK_BWD = int(_os.environ.get("NPCD_FUSED_MLP_BLK_BWD", 2048))
+
+# Backward-dot precision. The MXU's full rate is bf16; with "1" (default)
+# the backward walks the cotangent chain in f32 on the VPU (act-grad
+# multiplies, bias row-sums) but feeds the dW/dX dots bf16 operands with
+# f32 accumulation — exactly the numerics XLA's autodiff gives a bf16
+# network, where inter-layer cotangents are bf16 tensors. "0" keeps full
+# f32 dot operands (the pre-r04 behavior) for parity debugging.
+_BF16_BWD = _os.environ.get("NPCD_FUSED_MLP_BF16_BWD", "1") == "1"
 
 
 def _act(h):
@@ -114,18 +125,21 @@ def _bwd_kernel(x_ref, *refs, n_layers: int, final_linear: bool, rows: int):
     # contribution must be exactly zero)
     g = jnp.where(row_ok, g_ref[0].astype(jnp.float32), 0.0)
 
+    cd = refs[0].dtype
+    lowp = _BF16_BWD and cd == jnp.bfloat16
     for l in range(n_layers - 1, -1, -1):
         if not (final_linear and l == n_layers - 1):
             g = g * _act_grad(zs[l].astype(jnp.float32))
+        gd = g.astype(cd) if lowp else g
         acc_refs[2 * l][...] += jax.lax.dot_general(
-            hs[l].astype(jnp.float32), g,
+            hs[l].astype(cd if lowp else jnp.float32), gd,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
-        w = refs[2 * l][...].astype(jnp.float32)
+        w = refs[2 * l][...]
         g = jax.lax.dot_general(
-            g, w,
+            gd, w if lowp else w.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -361,13 +375,17 @@ def _fwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
 def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
                        pos_dim: int, n_freqs: int, freq_mult: float,
                        method: str, rows_pad: int, rows: int, f_dim: int,
-                       reduce_k: int, need_dw: bool):
+                       reduce_k: int, need_dw: bool, need_dp: bool):
     n_in = 2 * n_layers + 1
     g_ref = refs[n_in - 1]
     df_ref = refs[n_in]
-    dp_ref = refs[n_in + 1]
-    dw_refs = refs[n_in + 2: n_in + 2 + 2 * n_layers]
-    acc_refs = refs[n_in + 2 + 2 * n_layers:]
+    off = n_in + 1
+    dp_ref = None
+    if need_dp:
+        dp_ref = refs[off]
+        off += 1
+    dw_refs = refs[off: off + 2 * n_layers]
+    acc_refs = refs[off + 2 * n_layers:]
 
     b_i = pl.program_id(0)
     blk_j = pl.program_id(1)
@@ -385,17 +403,18 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         f_ref, p_ref, pos_dim=pos_dim, n_freqs=n_freqs, freq_mult=freq_mult,
         method=method, rows_pad=rows_pad, lane_ok=lane_ok)
 
-    # forward recompute (layer 1 transposed, rest row-major)
+    # forward recompute (layer 1 transposed, rest row-major). Only the
+    # pre-activations zs are kept live; layer inputs act(z) are re-derived
+    # in the backward walk (a VPU max — cheaper than holding n-1 extra
+    # [blk, 256] residuals in VMEM, which pinned the block size)
     w0 = refs[0][...]
     z = jax.lax.dot_general(
         h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(w0.dtype) + refs[1][...]
     zs = [z]
-    hs_rows = []  # row-major inputs of layers 1..n-1
     h = z if (final_linear and n_layers == 1) else _act(z)
     for l in range(1, n_layers):
-        hs_rows.append(h)
         z = _layer(h, refs[2 * l], refs[2 * l + 1])
         zs.append(z)
         h = z if (final_linear and l == n_layers - 1) else _act(z)
@@ -431,51 +450,80 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         row_ok = (blk_j * blk + row) < rows
         g = jnp.where(row_ok, g_ref[0].astype(jnp.float32), 0.0)
 
+    cd = w0.dtype
+    lowp = _BF16_BWD and cd == jnp.bfloat16
+    # With the weighted reduction folded in and a linear final layer, the
+    # last layer's per-pair cotangent is rank-1 per point (w_j * g_out[n]),
+    # so dW_last = (sum_j w_j h_last[n,j])^T g_out contracts over POINTS
+    # instead of pairs — k x fewer dW MACs for that layer (the wsum reduce
+    # is the same VPU pattern as the forward's output reduction). Exactly
+    # equal to the per-pair formulation in exact arithmetic.
+    fast_last = bool(reduce_k) and final_linear and n_layers > 1
     for l in range(n_layers - 1, 0, -1):
         if not (final_linear and l == n_layers - 1):
             g = g * _act_grad(zs[l].astype(jnp.float32))
-        acc_refs[2 * l][...] += jax.lax.dot_general(
-            hs_rows[l - 1].astype(jnp.float32), g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
-        w = refs[2 * l][...].astype(jnp.float32)
+        gd = g.astype(cd) if lowp else g
+        # layer l's input is act(zs[l-1]) — always activated, since l-1
+        # can't be the final_linear layer inside this loop
+        if fast_last and l == n_layers - 1:
+            hw = _wsum_reduce(_act(zs[l - 1]), w_col, reduce_k)  # [npts, d] f32
+            acc_refs[2 * l][...] += jax.lax.dot_general(
+                hw.astype(cd) if lowp else hw,
+                g_out.astype(cd) if lowp else g_out,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
+        else:
+            acc_refs[2 * l][...] += jax.lax.dot_general(
+                _act(zs[l - 1]).astype(cd if lowp else jnp.float32), gd,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
+        w = refs[2 * l][...]
         g = jax.lax.dot_general(
-            g, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            gd, w if lowp else w.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     # layer 1 (transposed boundary)
     if not (final_linear and n_layers == 1):
         g = g * _act_grad(zs[0].astype(jnp.float32))
+    gd = g.astype(cd) if lowp else g
     acc_refs[0][...] += jax.lax.dot_general(
-        h0t.astype(jnp.float32), g,
+        h0t.astype(cd if lowp else jnp.float32), gd,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [D1K, d_out]
     acc_refs[1][...] += jnp.sum(g, axis=0, keepdims=True)
+    # dp dead (need_dp=False): only the feat rows of dh0t are needed, so
+    # slice W1's rows before the dot and skip the posenc derivative chain
+    # and the dpos output entirely
+    w0d = w0 if need_dp else w0[:f_dim]
     dh0t = jax.lax.dot_general(
-        w0.astype(jnp.float32), g,
+        w0d if lowp else w0d.astype(jnp.float32), gd,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [D1K, blk]
+    )  # [D1K or f_dim, blk]
 
     df_ref[0] = dh0t[:f_dim].astype(df_ref.dtype)
-    base = f_dim + pos_dim
-    dx = dh0t[f_dim:base]
-    for j in range(n_freqs):
-        kj = freq_mult * math.pi * float(2 ** j)
-        dsin = dh0t[base + j * pos_dim: base + (j + 1) * pos_dim]
-        dcos = dh0t[base + (n_freqs + j) * pos_dim:
-                    base + (n_freqs + j + 1) * pos_dim]
-        dx = dx + kj * (dsin * coss[j] - dcos * sins[j])
-    pieces = [dx]
-    if dw_row is not None:  # w rides pos row 3, dw rides dpos row 3
-        pieces.append(dw_row)
-    pad_rows = dp_ref.shape[1] - sum(p.shape[0] for p in pieces)
-    pieces.append(jnp.zeros((pad_rows, dx.shape[1]), jnp.float32))
-    dp_ref[0] = jnp.concatenate(pieces, axis=0)
+    if need_dp:
+        base = f_dim + pos_dim
+        dx = dh0t[f_dim:base]
+        for j in range(n_freqs):
+            kj = freq_mult * math.pi * float(2 ** j)
+            dsin = dh0t[base + j * pos_dim: base + (j + 1) * pos_dim]
+            dcos = dh0t[base + (n_freqs + j) * pos_dim:
+                        base + (n_freqs + j + 1) * pos_dim]
+            dx = dx + kj * (dsin * coss[j] - dcos * sins[j])
+        pieces = [dx]
+        if dw_row is not None:  # w rides pos row 3, dw rides dpos row 3
+            pieces.append(dw_row)
+        pad_rows = dp_ref.shape[1] - sum(p.shape[0] for p in pieces)
+        pieces.append(jnp.zeros((pad_rows, dx.shape[1]), jnp.float32))
+        dp_ref[0] = jnp.concatenate(pieces, axis=0)
 
     @pl.when((b_i == pl.num_programs(0) - 1) & (blk_j == pl.num_programs(1) - 1))
     def _store():
@@ -559,7 +607,10 @@ def _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
 
 
 def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
-                     final_linear, method, reduce_k=0, need_dw=True):
+                     final_linear, method, reduce_k=0, need_dw=True,
+                     need_dp=True):
+    if need_dw and not need_dp:
+        raise ValueError("need_dw requires need_dp (dw rides dpos row 3)")
     b, f_dim, m = feat_t.shape
     pos_dim = 3
     n_layers = len(weights)
@@ -582,11 +633,11 @@ def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
     for w, bias in kweights:
         w_shapes += [w.shape, (1, bias.shape[-1])]
 
-    out_shapes = [
-        jax.ShapeDtypeStruct(feat_t.shape, feat_t.dtype),
-        jax.ShapeDtypeStruct(pos_t.shape, jnp.float32),
-    ]
-    out_specs = [col(f_dim), col(pos_t.shape[1])]
+    out_shapes = [jax.ShapeDtypeStruct(feat_t.shape, feat_t.dtype)]
+    out_specs = [col(f_dim)]
+    if need_dp:
+        out_shapes.append(jax.ShapeDtypeStruct(pos_t.shape, jnp.float32))
+        out_specs.append(col(pos_t.shape[1]))
     for s in w_shapes:
         out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
         out_specs.append(full(s))
@@ -597,7 +648,8 @@ def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
                           final_linear=final_linear, pos_dim=pos_dim,
                           n_freqs=n_freqs, freq_mult=freq_mult,
                           method=method, rows_pad=rows_pad, rows=m,
-                          f_dim=f_dim, reduce_k=reduce_k, need_dw=need_dw),
+                          f_dim=f_dim, reduce_k=reduce_k, need_dw=need_dw,
+                          need_dp=need_dp),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[col(f_dim), col(pos_t.shape[1])] + _w_specs(kweights)
@@ -605,17 +657,26 @@ def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )(feat_t, pos_t, *_flat_weights(kweights), g)
-    dfeat_t, dpos_t = outs[0], outs[1]
+    dfeat_t = outs[0]
+    woff = 1
+    if need_dp:
+        dpos_t = outs[1]
+        woff = 2
+    else:
+        # structurally-zero cotangent (the caller stop_gradients x_rel/w);
+        # a broadcast-zeros here is fused away by XLA wherever it lands
+        dpos_t = jnp.zeros(pos_t.shape, jnp.float32)
     dws = []
     inv = np.argsort(_posenc_perm(f_dim, pos_dim, n_freqs))
     d1 = f_dim + pos_dim * (1 + 2 * n_freqs)
     for l in range(n_layers):
         w, bias = weights[l]
-        dw = outs[2 + 2 * l]
+        dw = outs[woff + 2 * l]
         if l == 0:
             dw = dw[:d1][inv]
         dws.append((dw.astype(w.dtype),
-                    outs[3 + 2 * l].reshape(bias.shape).astype(bias.dtype)))
+                    outs[woff + 1 + 2 * l].reshape(bias.shape)
+                    .astype(bias.dtype)))
     return dfeat_t, dpos_t, tuple(dws)
 
 
@@ -656,7 +717,7 @@ def _posenc_vjp_bwd(n_freqs, freq_mult, final_linear, method, res, g):
 fused_mlp_posenc.defvjp(_posenc_vjp_fwd, _posenc_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_mlp_posenc_wsum(
     feat_t: jnp.ndarray,
     pos_t: jnp.ndarray,
@@ -667,6 +728,7 @@ def fused_mlp_posenc_wsum(
     final_linear: bool = True,
     method: str = "direct",
     need_dw: bool = True,
+    need_dp: bool = True,
 ) -> jnp.ndarray:
     """fused_mlp_posenc with the k-neighbor weighted reduction folded into
     the kernel's output: returns [B, M // k, d_out] where row n is
@@ -685,18 +747,18 @@ def fused_mlp_posenc_wsum(
 
 
 def _posenc_wsum_vjp_fwd(feat_t, pos_t, weights, k, n_freqs, freq_mult,
-                         final_linear, method, need_dw):
+                         final_linear, method, need_dw, need_dp):
     out = _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
                            final_linear, method, reduce_k=k)
     return out, (feat_t, pos_t, weights)
 
 
 def _posenc_wsum_vjp_bwd(k, n_freqs, freq_mult, final_linear, method,
-                         need_dw, res, g):
+                         need_dw, need_dp, res, g):
     feat_t, pos_t, weights = res
     return _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
                             final_linear, method, reduce_k=k,
-                            need_dw=need_dw)
+                            need_dw=need_dw, need_dp=need_dp)
 
 
 fused_mlp_posenc_wsum.defvjp(_posenc_wsum_vjp_fwd, _posenc_wsum_vjp_bwd)

@@ -402,8 +402,13 @@ def test_agg_weight_cotangent_dead():
     params = {"local_field": init_mlp(k4, opts.layers, agg_in, opts.out_dim)}
 
     def loss(pts):
+        # diff_pts=True restores the reference's full autodiff through
+        # shading points (posenc/MLP-input path live); the default
+        # (diff_pts=False, asserted below) also detaches x_rel — the
+        # production fast path, where pts have no trainable ancestors.
         feat, _ = aggregate_features(
-            params, opts, 0.5, pts, pts_mask, kp_pos, kp_feat, impl="xla")
+            params, opts, 0.5, pts, pts_mask, kp_pos, kp_feat, impl="xla",
+            diff_pts=True)
         return (feat ** 2).sum()
 
     # gradients through shading_pts still flow via the posenc(x_rel) MLP
@@ -440,3 +445,15 @@ def test_agg_weight_cotangent_dead():
     _, jvp_ref = jax.jvp(loss_manual, (shading_pts,), (tangent,))
     np.testing.assert_allclose(float(jvp_val), float(jvp_ref),
                                rtol=1e-5, atol=1e-7)
+
+    # default contract (diff_pts=False): x_rel is ALSO dead — the pts
+    # cotangent through aggregate_features is structurally zero, matching
+    # the wsum kernel's need_dp=False so the runtime-selected paths can
+    # never diverge
+    def loss_default(pts):
+        feat, _ = aggregate_features(
+            params, opts, 0.5, pts, pts_mask, kp_pos, kp_feat, impl="xla")
+        return (feat ** 2).sum()
+
+    _, jvp_dead = jax.jvp(loss_default, (shading_pts,), (tangent,))
+    np.testing.assert_allclose(float(jvp_dead), 0.0, atol=1e-7)

@@ -178,3 +178,43 @@ def test_shading_budget_overflow_runs(setup):
     l, g = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(l))
     assert np.isfinite(np.asarray(g["feats_table"])).all()
+
+
+def test_budget_rank_counting_sort():
+    """The budget path's counting-sort packed positions (three cumsums,
+    pointnerf.py _render_core) must equal the stable-argsort formulation
+    they replaced, and pack_rows(table, rank, cap) must equal
+    gather_rows(table, argsort(key)[:cap]) including gradients."""
+    from npcd_tpu.models.pointnerf.aggregator import gather_rows, pack_rows
+
+    rng = np.random.default_rng(0)
+    I, R, m, cap = 4, 13, 17, 23
+    for trial in range(5):
+        mask = rng.random((I, R, m)) < rng.uniform(0.05, 0.9)
+        flat = mask.reshape(I, R * m)
+        sample_j = np.tile(np.arange(m), R)[None, :]
+        key = np.where(flat, sample_j, m)
+        order = np.argsort(key, axis=1, kind="stable")
+        rank_ref = np.argsort(order, axis=1, kind="stable")
+
+        mask_i = mask.astype(np.int32)
+        cnt_j = mask_i.sum(axis=1)
+        offset_j = np.cumsum(cnt_j, axis=1) - cnt_j
+        prefix_r = np.cumsum(mask_i, axis=1) - mask_i
+        n_valid = cnt_j.sum(axis=1)
+        inv = 1 - mask_i.reshape(I, R * m)
+        inv_prefix = np.cumsum(inv, axis=1) - inv
+        rank = np.where(
+            flat, (offset_j[:, None, :] + prefix_r).reshape(I, -1),
+            n_valid[:, None] + inv_prefix)
+        np.testing.assert_array_equal(rank, rank_ref, err_msg=f"trial {trial}")
+
+    table = rng.standard_normal((I, R * m, 4)).astype(np.float32)
+    sel = jnp.asarray(order[:, :cap])
+    rank_j = jnp.asarray(rank)
+    a = gather_rows(jnp.asarray(table), sel)
+    b = pack_rows(jnp.asarray(table), rank_j, cap)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ga = jax.grad(lambda t: (gather_rows(t, sel) ** 2).sum())(jnp.asarray(table))
+    gb = jax.grad(lambda t: (pack_rows(t, rank_j, cap) ** 2).sum())(jnp.asarray(table))
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))

@@ -43,11 +43,11 @@ def run_one(fwd_blk: int, bwd_blk: int):
 
     def fwd(feat_t, pos_t, ws):
         return fused_mlp_posenc_wsum(feat_t, pos_t, ws, K, NF, 1.0, True,
-                                     "recurrence", need_dw=False).sum()
+                                     "recurrence", need_dw=False, need_dp=False).sum()
 
     def fwdbwd(feat_t, pos_t, ws, ct):
         out = fused_mlp_posenc_wsum(feat_t, pos_t, ws, K, NF, 1.0, True,
-                                    "recurrence", need_dw=False)
+                                    "recurrence", need_dw=False, need_dp=False)
         return (out * ct).sum()
 
     t_f = device_time("fwd", jax.jit(fwd), (feat_t, pos_t, ws), iters=10)
