@@ -132,14 +132,42 @@ def cat_images_rowwise(imgs):
     return canvas
 
 
-def _finish(img, text, label, text_off, out_format):
+def _finish(img, text, label, text_off, out_format, out_action=None,
+            range_colors=None):
     if not text_off:
         overlays = [t for t in (label, text) if t]
         if overlays:
             add_text_to_img(img, " | ".join(overlays))
-    if out_format in ("np", "numpy"):
-        return np.asarray(img, np.uint8)
-    return img
+        if range_colors is not None:
+            # colored min/max swatches next to the range text (reference
+            # vis.py:33-84 _cmap_min_str/_cmap_max_str intent): a 6x6 patch
+            # in the colormap's extreme colors at the top-right corner
+            from PIL import ImageDraw
+
+            draw = ImageDraw.Draw(img)
+            lo_c, hi_c = range_colors
+            w = img.width
+            draw.rectangle([w - 14, 2, w - 9, 8], fill=tuple(lo_c))
+            draw.rectangle([w - 7, 2, w - 2, 8], fill=tuple(hi_c))
+    out = img
+    if isinstance(out_format, dict):
+        # reference contract (vis.py:97-104): {'type': 'PIL'|'np',
+        # 'dtype': ...}; 'np' returns CHW
+        if out_format.get("type") == "np":
+            out = np.array(img, dtype=out_format.get("dtype")).transpose(2, 0, 1)
+    elif out_format in ("np", "numpy"):
+        out = np.asarray(img, np.uint8)
+    if out_action is not None:
+        # reference contract (vis.py:105-119): dict {'type': 'save',
+        # 'path': ...} or the string 'show'
+        if isinstance(out_action, dict) and out_action.get("type") == "save":
+            if isinstance(out, np.ndarray):
+                np.save(out_action["path"], out)
+            else:
+                out.save(out_action["path"])
+        elif out_action == "show":
+            img.show()
+    return out
 
 
 def _vis_single_2d_array(
@@ -148,6 +176,8 @@ def _vis_single_2d_array(
     clipping: bool = False,
     upper_clipping_thresh: Optional[float] = None,
     lower_clipping_thresh: Optional[float] = None,
+    mark_clipping: bool = False,
+    clipping_color=None,
     invalid_values: Optional[Sequence[float]] = None,
     mark_invalid: bool = False,
     invalid_color=(128, 128, 128),
@@ -155,15 +185,21 @@ def _vis_single_2d_array(
     label: Optional[str] = None,
     cmap: str = "turbo",
     image_range_text_off: bool = False,
+    image_range_colors_off: bool = False,
     text_off: bool = False,
-    out_format: Optional[str] = None,
+    out_format=None,
+    out_action=None,
 ):
     """Scalar 2D map -> colorized PIL image with range annotation
-    (reference vis.py:253-388)."""
+    (reference vis.py:253-388). mark_clipping paints values beyond the
+    clipping thresholds in clipping_color (default: the colormap's extreme
+    colors, per threshold side); out_format/out_action follow the
+    reference dict contracts (vis.py:97-119)."""
     from PIL import Image
 
+    raw = np.array(_to_np(arr), np.float32, copy=True)
     arr = invalidate_np_array(
-        arr, clipping, upper_clipping_thresh, lower_clipping_thresh,
+        raw, clipping, upper_clipping_thresh, lower_clipping_thresh,
         invalid_values,
     )
     finite = np.isfinite(arr)
@@ -175,12 +211,33 @@ def _vis_single_2d_array(
     rgb = _colormap(normed, cmap) if colorize else np.repeat(normed[..., None], 3, -1)
     if mark_invalid:
         rgb[~finite] = np.asarray(invalid_color, np.float32) / 255.0
+    if clipping and mark_clipping:
+        cmap_lo = (_colormap(np.zeros(()), cmap) if colorize
+                   else np.zeros(3)) * 255.0
+        cmap_hi = (_colormap(np.ones(()), cmap) if colorize
+                   else np.ones(3)) * 255.0
+        hi_col = np.asarray(clipping_color if clipping_color is not None
+                            else cmap_hi, np.float32) / 255.0
+        lo_col = np.asarray(clipping_color if clipping_color is not None
+                            else cmap_lo, np.float32) / 255.0
+        raw_finite = np.isfinite(raw)
+        if upper_clipping_thresh is not None:
+            rgb[raw_finite & (raw > upper_clipping_thresh)] = hi_col
+        if lower_clipping_thresh is not None:
+            rgb[raw_finite & (raw < lower_clipping_thresh)] = lo_col
     img = Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
 
+    range_colors = None
     if not image_range_text_off and not text_off:
         range_text = f"[{lo:.3g}, {hi:.3g}]"
         text = f"{text} {range_text}" if text else range_text
-    return _finish(img, text, label, text_off, out_format)
+        if colorize and not image_range_colors_off:
+            range_colors = (
+                tuple((_colormap(np.zeros(()), cmap) * 255).astype(np.uint8)),
+                tuple((_colormap(np.ones(()), cmap) * 255).astype(np.uint8)),
+            )
+    return _finish(img, text, label, text_off, out_format, out_action,
+                   range_colors)
 
 
 def _vis_single_image(
@@ -188,22 +245,35 @@ def _vis_single_image(
     clipping: bool = True,
     upper_clipping_thresh: Optional[float] = 1.0,
     lower_clipping_thresh: Optional[float] = 0.0,
+    invalid_values: Optional[Sequence[float]] = None,
+    mark_invalid: bool = False,
+    invalid_color=(128, 128, 128),
     text: Optional[str] = None,
     label: Optional[str] = None,
     text_off: bool = True,
-    out_format: Optional[str] = None,
+    out_format=None,
+    out_action=None,
 ):
     """[3, H, W] or [H, W, 3] float image in [0, 1] -> PIL
-    (reference vis.py:434-541)."""
+    (reference vis.py:434-541); out_format/out_action per the reference
+    dict contracts (vis.py:97-119)."""
     from PIL import Image
 
     img = _to_np(img)
     if img.ndim == 3 and img.shape[0] == 3 and img.shape[-1] != 3:
         img = np.moveaxis(img, 0, -1)
+    invalid = ~np.isfinite(img).all(-1)
+    if invalid_values is not None:
+        for v in invalid_values:
+            invalid |= (img == v).all(-1)
+    img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
     if clipping:
         img = np.clip(img, lower_clipping_thresh, upper_clipping_thresh)
+    if mark_invalid:
+        img = img.copy()
+        img[invalid] = np.asarray(invalid_color, np.float32) / 255.0
     pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-    return _finish(pil, text, label, text_off, out_format)
+    return _finish(pil, text, label, text_off, out_format, out_action)
 
 
 def _vis_batch(singles_fn, arr, full_batch, batch_labels, **kwargs):

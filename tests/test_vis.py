@@ -76,3 +76,42 @@ def test_add_text_and_tile():
     assert not np.array_equal(before, np.asarray(img))
     grid = tile_images([np.zeros((4, 4, 3))] * 5)
     assert grid.shape == (8, 12, 3)
+
+
+def test_out_format_out_action_reference_contracts(tmp_path):
+    """Reference-style dict out_format ({'type': 'np'} -> CHW array,
+    vis.py:97-104) and out_action ({'type': 'save', 'path': ...},
+    vis.py:105-119) round-trip."""
+    import numpy as np
+    from npcd_tpu.utils.vis import vis
+
+    arr = np.linspace(0, 1, 64).reshape(8, 8)
+    out = vis(arr, out_format={"type": "np", "dtype": "uint8"})
+    assert isinstance(out, np.ndarray) and out.shape[0] == 3  # CHW
+
+    p = tmp_path / "v.png"
+    img = vis(arr, out_action={"type": "save", "path": str(p)})
+    assert p.exists() and img.size == (8, 8)
+
+    npy = tmp_path / "v.npy"
+    vis(arr, out_format={"type": "np"}, out_action={"type": "save", "path": str(npy)})
+    assert np.load(npy).shape[0] == 3
+
+
+def test_mark_clipping_paints_extremes():
+    """mark_clipping paints beyond-threshold pixels in the colormap's
+    extreme colors (reference vis.py:253-290 semantics)."""
+    import numpy as np
+    from npcd_tpu.utils.vis import vis_2d_array
+
+    arr = np.array([[0.0, 0.5, 5.0], [-5.0, 0.2, 0.8]], np.float32)
+    img = vis_2d_array(
+        arr, clipping=True, upper_clipping_thresh=1.0,
+        lower_clipping_thresh=-1.0, mark_clipping=True, text_off=True)
+    px = np.asarray(img)
+    # the 5.0 pixel gets the cmap max color; -5.0 the cmap min color
+    from npcd_tpu.utils.vis import _colormap
+    hi = (_colormap(np.ones(())) * 255).astype(np.uint8)
+    lo = (_colormap(np.zeros(())) * 255).astype(np.uint8)
+    assert np.abs(px[0, 2].astype(int) - hi.astype(int)).max() <= 1
+    assert np.abs(px[1, 0].astype(int) - lo.astype(int)).max() <= 1
