@@ -56,6 +56,7 @@ class DiffusionEvaluation:
         max_poses: Optional[int] = None,
         verbose: bool = True,
         mesh=None,
+        render_dtype=None,
     ):
         import os.path as _osp
 
@@ -68,6 +69,14 @@ class DiffusionEvaluation:
         self.verbose = verbose
         self.inception_pkl_path = inception_pkl_path
         self.mesh = mesh
+        # None = the model's own render precision (f32 in the eval CLIs,
+        # reference-exact). "bfloat16" runs the FID render's aggregation/
+        # field MLPs in bf16 (f32 MXU accumulation), a qualified speed
+        # option like the bf16 sampler (PARITY.md): the protocol quantizes
+        # renders to uint8 before Inception, and the bf16/f32 renders agree
+        # far above that quantization floor
+        # (tests/test_eval_pipelines.py::test_fid_eval_bf16_render).
+        self.render_dtype = render_dtype
         if mesh is not None:
             # data-parallel eval: objects shard over the 'data' axis both in
             # the sampler and the renderer, so batch sizes are rounded up to
@@ -164,9 +173,18 @@ class DiffusionEvaluation:
         num_poses = len(self.poses)
         pose_batches = list(chunks(list(range(num_poses)), self.render_pose_batch))
 
+        render_pn = model.pointnerf
+        if self.render_dtype is not None:
+            import copy
+            import dataclasses
+
+            render_pn = copy.copy(render_pn)
+            render_pn.cfg = dataclasses.replace(
+                render_pn.cfg, compute_dtype=jnp.dtype(self.render_dtype).type)
+
         @jax.jit
         def render_poses(params, coords, feats, extr, intr):
-            out = model.pointnerf.render(
+            out = render_pn.render(
                 params, coords, feats, extr, intr, resolution=self.resolution
             )
             return out["channels"]

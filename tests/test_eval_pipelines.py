@@ -263,3 +263,71 @@ def test_inception_feed_contract():
     np.testing.assert_array_equal(
         x.numpy(), levels.transpose(0, 3, 1, 2).astype(np.uint8)
     )
+
+
+def test_fid_eval_bf16_render(tmp_path):
+    """render_dtype='bfloat16' (the qualified FID-render speed option) runs
+    the same protocol and agrees with the f32 render far above the uint8
+    quantization floor the protocol applies before Inception: cross-PSNR of
+    the rendered views > 40 dB and the FID delta is a small fraction of the
+    (synthetic) FID magnitude."""
+    npcd = _tiny_npcd()
+    pn_params = npcd.pointnerf.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (4, P, 3),
+                                minval=-0.4, maxval=0.4)
+    pn_params = npcd.pointnerf.set_all_coords(pn_params, coords)
+    dstate = npcd.diffusion.init(jax.random.PRNGKey(2))
+    dstate = npcd.diffusion.fit_normalizers(
+        dstate,
+        np.random.default_rng(0).normal(size=(3, 256)).astype(np.float32),
+        np.random.default_rng(1).normal(size=(FD, 256)).astype(np.float32),
+    )
+    extr, intr = random_cameras(2, RES, seed=0)
+
+    # direct render cross-check on an explicit cloud
+    import dataclasses as _dc
+    import copy as _copy
+
+    c = jax.random.uniform(jax.random.PRNGKey(5), (1, P, 3),
+                           minval=-0.4, maxval=0.4)
+    f = jax.random.normal(jax.random.PRNGKey(6), (1, P, FD)) * 0.1
+    e = jnp.asarray(extr)[None]
+    i = jnp.asarray(intr)[None]
+    out32 = npcd.pointnerf.render(pn_params, c, f, e, i, resolution=RES)
+    pn16 = _copy.copy(npcd.pointnerf)
+    pn16.cfg = _dc.replace(pn16.cfg, compute_dtype=jnp.bfloat16)
+    out16 = pn16.render(pn_params, c, f, e, i, resolution=RES)
+    a = np.asarray(out32["channels"], np.float32)
+    b = np.asarray(out16["channels"], np.float32)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40, psnr
+
+    # e2e: same protocol, bf16 render path
+    rng = np.random.default_rng(2)
+    proj = np.random.default_rng(0).normal(
+        size=(RES * RES * 3, 8)).astype(np.float32)
+    real_imgs = rng.uniform(0, 1, (20, RES, RES, 3)).astype(np.float32)
+    real_feats = real_imgs.reshape(20, -1) @ proj
+    pkl_path = str(tmp_path / "inception_stats.pkl")
+    with open(pkl_path, "wb") as fh:
+        pickle.dump({"mean": real_feats.mean(0),
+                     "cov": np.cov(real_feats, rowvar=False),
+                     "feats_np": real_feats}, fh)
+    kw = dict(
+        num_samples=2, poses=extr, intrinsics=intr,
+        inception_pkl_path=pkl_path,
+        feature_extractor="random_projection:8",
+        generate_batch_size=2, render_pose_batch=2,
+        resolution=RES, verbose=False,
+    )
+    r32 = DiffusionEvaluation(out_dir=str(tmp_path / "e32"), **kw)(
+        npcd, pn_params, dstate, rng=jax.random.PRNGKey(3),
+        num_qualitatives=0)
+    r16 = DiffusionEvaluation(out_dir=str(tmp_path / "e16"),
+                              render_dtype="bfloat16", **kw)(
+        npcd, pn_params, dstate, rng=jax.random.PRNGKey(3),
+        num_qualitatives=0)
+    assert np.isfinite(r16["fid"])
+    assert abs(r16["fid"] - r32["fid"]) < 0.05 * max(abs(r32["fid"]), 1.0), (
+        r16["fid"], r32["fid"])

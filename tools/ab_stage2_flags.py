@@ -29,7 +29,10 @@ CONFIGS = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--config", default=None,
+                    help="run a single named config (subprocess-friendly)")
     args = ap.parse_args()
+    configs = [c for c in CONFIGS if args.config in (None, c[0])]
 
     from npcd_tpu.models.diffusion import DiffusionModel
     from npcd_tpu.train.diffusion_training import (
@@ -55,7 +58,7 @@ def main():
     inner = make_diffusion_train_step(model, fused, ema_cfgs,
                                       donate=True).__wrapped__
 
-    for name, opts in CONFIGS:
+    for name, opts in configs:
         dstate = model.init(jax.random.PRNGKey(0))
         state = DiffusionTrainState(
             params=dstate.params,
