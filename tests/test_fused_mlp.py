@@ -457,3 +457,47 @@ def test_agg_weight_cotangent_dead():
 
     _, jvp_dead = jax.jvp(loss_default, (shading_pts,), (tangent,))
     np.testing.assert_allclose(float(jvp_dead), 0.0, atol=1e-7)
+
+
+def test_fused_mlp_posenc_wsum_need_dp_false():
+    """The production flags (need_dw=False, need_dp=False): dfeat and all
+    weight grads match autodiff of the reference formulation exactly as in
+    the need_dw=True test, the dpos cotangent is structurally zero, and
+    the forward is unchanged. Pins the dead-cotangent elision
+    (fast-dW-last + sliced dh0t dot) against the full-bwd kernel."""
+    from npcd_tpu.ops.pallas.fused_mlp import fused_mlp_posenc_wsum
+
+    feat_t, pos_t, weights, _ = _wsum_setup()
+    ct = jax.random.normal(jax.random.PRNGKey(3), (2, 20, 64))
+
+    def loss_ref(feat_t, pos_t, weights):
+        return (_ref_wsum(jax.lax.stop_gradient(feat_t) + feat_t * 0,
+                          jax.lax.stop_gradient(pos_t), weights, 4, 4, 1.0,
+                          "direct") * ct).sum()
+
+    def loss_pl(feat_t, pos_t, weights):
+        return (fused_mlp_posenc_wsum(feat_t, pos_t, weights, 4, 4, 1.0,
+                                      True, "direct", need_dw=False,
+                                      need_dp=False) * ct).sum()
+
+    ref_v = loss_ref(feat_t, pos_t, weights)
+    ref = jax.grad(lambda f, p, w: (_ref_wsum(f, jax.lax.stop_gradient(p),
+                                              w, 4, 4, 1.0, "direct")
+                                    * ct).sum(),
+                   argnums=(0, 2))(feat_t, pos_t, weights)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            val = loss_pl(feat_t, pos_t, weights)
+            got = jax.grad(loss_pl, argnums=(0, 1, 2))(feat_t, pos_t, weights)
+            got = jax.tree_util.tree_map(np.asarray, got)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(float(val), float(ref_v), rtol=1e-4)
+    np.testing.assert_allclose(got[0], np.asarray(ref[0]), rtol=1e-4,
+                               atol=1e-5, err_msg="dfeat")
+    assert np.all(got[1] == 0), "dpos must be structurally zero"
+    for (rw, rb), (pw, pb), i in zip(ref[1], got[2], range(len(ref[1]))):
+        np.testing.assert_allclose(pw, np.asarray(rw), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"dW{i}")
+        np.testing.assert_allclose(pb, np.asarray(rb), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"db{i}")

@@ -53,6 +53,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default="2,8,32")
     ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--sb", type=int, default=None,
+                    help="eval_slot_block override (staircase block size)")
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--topn", type=int, default=18)
@@ -73,7 +75,8 @@ def main():
     pn = PointNeRF(
         n_obj=1, feats_dim=32, num_points=num_points, opts=opts,
         render_config=PointNeRFRenderConfig(
-            eval_ray_chunk=args.chunk, compute_dtype=cdt),
+            eval_ray_chunk=args.chunk, compute_dtype=cdt,
+            **({"eval_slot_block": args.sb} if args.sb is not None else {})),
     )
     params = pn.init_params(jax.random.PRNGKey(0))
     res = args.res
