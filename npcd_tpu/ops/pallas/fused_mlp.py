@@ -59,6 +59,12 @@ _BLK_BWD = int(_os.environ.get("NPCD_FUSED_MLP_BLK_BWD", 2048))
 # f32 dot operands (the pre-r04 behavior) for parity debugging.
 _BF16_BWD = _os.environ.get("NPCD_FUSED_MLP_BF16_BWD", "1") == "1"
 
+# In-kernel fwd sub-blocking (see _fwd_posenc_kernel); 1 = off (default).
+# Measured NEUTRAL at the production shape (fwd blk 7168: 19.77 ms at
+# subblk 1 vs 19.97 at subblk 2, v5e) — Mosaic already overlaps the
+# posenc VPU chain with the layer dots; kept as a knob for other shapes.
+_FWD_SUBBLK = int(_os.environ.get("NPCD_FUSED_MLP_FWD_SUBBLK", "1"))
+
 
 def _act(h):
     return jnp.maximum(h, 0.01 * h)
@@ -303,11 +309,10 @@ def _posenc_rows(xp, n_freqs: int, freq_mult: float, method: str):
     return sins, coss
 
 
-def _build_h0t(f_ref, p_ref, *, pos_dim: int, n_freqs: int,
+def _build_h0t(xf, xp, *, pos_dim: int, n_freqs: int,
                freq_mult: float, method: str, rows_pad: int, lane_ok):
-    """[D1K, blk] layer-1 input (transposed), compute dtype."""
-    xf = f_ref[0]  # [F, blk]
-    xp = p_ref[0][:pos_dim]  # [pos_dim, blk] f32
+    """xf [F, blk] compute dtype, xp [pos_dim, blk] f32 ->
+    ([D1K, blk] layer-1 input (transposed), sins, coss)."""
     if lane_ok is not None:
         # mask OOB lanes of the ragged last block BEFORE sin/cos: undefined
         # loads could be Inf -> sin(Inf) = NaN, which would poison dW1 even
@@ -323,13 +328,13 @@ def _build_h0t(f_ref, p_ref, *, pos_dim: int, n_freqs: int,
     return jnp.concatenate(pieces, axis=0), sins, coss
 
 
-def _w_col(p_ref, lane_ok, blk: int):
-    """Per-pair weight as a column [blk, 1] f32: read from pos row 3
-    ([1, blk] lane-major), zero OOB lanes of a ragged block, relayout to
+def _w_col(w_row, lane_ok, blk: int):
+    """Per-pair weight as a column [blk, 1] f32: w_row is pos row 3 as
+    [1, blk] lane-major; zero OOB lanes of a ragged block, relayout to
     sublanes. The 1-D relayout is a few hundred cycles — an earlier
     block-diagonal-selector MXU formulation cost k*npts/1 redundant dot
     work (~10 ms/step at the SRN geometry, measured perf-neutral)."""
-    wv = jnp.where(lane_ok, p_ref[0][3:4], 0.0)  # [1, blk] f32
+    wv = jnp.where(lane_ok, w_row, 0.0)  # [1, blk] f32
     return wv.reshape(blk, 1)
 
 
@@ -346,30 +351,48 @@ def _fwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
                        method: str, rows_pad: int, reduce_k: int, rows: int):
     o_ref = refs[-1]
     blk = f_ref.shape[-1]
-    lane_ok = None
-    if reduce_k:
-        # the reduction dot sums every lane into each output row, so ragged
-        # OOB lanes must be finite (0 * NaN = NaN inside an MXU dot)
-        lane = pl.program_id(1) * blk + jax.lax.broadcasted_iota(
-            jnp.int32, (1, blk), 1)
-        lane_ok = lane < rows
-    h0t, _, _ = _build_h0t(f_ref, p_ref, pos_dim=pos_dim, n_freqs=n_freqs,
-                           freq_mult=freq_mult, method=method,
-                           rows_pad=rows_pad, lane_ok=lane_ok)
-    w0 = refs[0][...]
-    h = jax.lax.dot_general(
-        h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(w0.dtype) + refs[1][...]
-    if not (final_linear and n_layers == 1):
-        h = _act(h)
-    for i in range(1, n_layers):
-        h = _layer(h, refs[2 * i], refs[2 * i + 1])
-        if not (final_linear and i == n_layers - 1):
+    # In-kernel sub-blocking (NPCD_FUSED_MLP_FWD_SUBBLK > 1): the posenc
+    # build is a VPU chain that otherwise serializes ahead of the MXU
+    # dots; independent sub-blocks inside ONE program let the compiler
+    # overlap sub-block t+1's sin/cos with sub-block t's layer dots while
+    # keeping the per-program overhead of the large block.
+    nsub = _FWD_SUBBLK
+    if not (nsub > 1 and blk % nsub == 0
+            and (not reduce_k or (blk // nsub) % (8 * reduce_k) == 0)):
+        nsub = 1
+    sub = blk // nsub
+    for t in range(nsub):
+        sl = slice(t * sub, (t + 1) * sub)
+        xf = f_ref[0][:, sl]
+        xp = p_ref[0][:pos_dim, sl]
+        lane_ok = None
+        if reduce_k:
+            # the reduction dot sums every lane into each output row, so
+            # ragged OOB lanes must be finite (0 * NaN = NaN in an MXU dot)
+            lane = (pl.program_id(1) * blk + t * sub
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1))
+            lane_ok = lane < rows
+        h0t, _, _ = _build_h0t(xf, xp, pos_dim=pos_dim, n_freqs=n_freqs,
+                               freq_mult=freq_mult, method=method,
+                               rows_pad=rows_pad, lane_ok=lane_ok)
+        w0 = refs[0][...]
+        h = jax.lax.dot_general(
+            h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(w0.dtype) + refs[1][...]
+        if not (final_linear and n_layers == 1):
             h = _act(h)
-    if reduce_k:
-        h = _wsum_reduce(h, _w_col(p_ref, lane_ok, blk), reduce_k)
-    o_ref[0] = h.astype(o_ref.dtype)
+        for i in range(1, n_layers):
+            h = _layer(h, refs[2 * i], refs[2 * i + 1])
+            if not (final_linear and i == n_layers - 1):
+                h = _act(h)
+        if reduce_k:
+            h = _wsum_reduce(
+                h, _w_col(p_ref[0][3:4, sl], lane_ok, sub), reduce_k)
+            o_ref[0, t * (sub // reduce_k):(t + 1) * (sub // reduce_k)] = (
+                h.astype(o_ref.dtype))
+        else:
+            o_ref[0, sl] = h.astype(o_ref.dtype)
 
 
 def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
@@ -400,8 +423,9 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
     lane_ok = lane < rows
 
     h0t, sins, coss = _build_h0t(
-        f_ref, p_ref, pos_dim=pos_dim, n_freqs=n_freqs, freq_mult=freq_mult,
-        method=method, rows_pad=rows_pad, lane_ok=lane_ok)
+        f_ref[0], p_ref[0][:pos_dim], pos_dim=pos_dim, n_freqs=n_freqs,
+        freq_mult=freq_mult, method=method, rows_pad=rows_pad,
+        lane_ok=lane_ok)
 
     # forward recompute (layer 1 transposed, rest row-major). Only the
     # pre-activations zs are kept live; layer inputs act(z) are re-derived
@@ -430,7 +454,7 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         g_out = jnp.where(pt_ok, g_ref[0].astype(jnp.float32), 0.0)
         g_exp = jnp.broadcast_to(
             g_out[:, None, :], (npts, reduce_k, d_out)).reshape(blk, d_out)
-        w_col = _w_col(p_ref, lane_ok, blk)
+        w_col = _w_col(p_ref[0][3:4], lane_ok, blk)
         g = g_exp * w_col  # [blk, d_out]
         if need_dw:
             # dw[r] = <h_last[r], g_out[r // k]>: lane reduce, then back to
