@@ -50,10 +50,14 @@ def eval(args):
         from npcd_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    eval_kw = dict(config["diffusion_evaluation"])
+    if getattr(args, "render_dtype", None):  # CLI override (see
+        eval_kw["render_dtype"] = (  # DiffusionEvaluation.render_dtype
+            None if args.render_dtype == "float32" else args.render_dtype)
     evaluation = DiffusionEvaluation(
         out_dir=out_dir,
         mesh=mesh,
-        **config["diffusion_evaluation"],
+        **eval_kw,
     )
     evaluation(
         model,
@@ -78,6 +82,10 @@ if __name__ == "__main__":
     parser.add_argument("--num_qualitatives", type=int, default=10,
                         help="Number of qualitative renders to save.")
     parser.add_argument("--log_dir", help="Folder for tensorboard logs. Default: output dir.")
+    parser.add_argument("--render_dtype", choices=["float32", "bfloat16"],
+                        help="Override the FID render precision (float32 = "
+                             "reference-exact; bfloat16 = qualified speed "
+                             "option, see configs/npcd_srncars_fast.yaml).")
     parser.add_argument("--no_tensorboard", action="store_true")
     parser.add_argument("--wandb", action="store_true",
                         help="Accepted for reference-CLI compatibility (wandb is not bundled).")
