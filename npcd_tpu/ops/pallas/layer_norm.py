@@ -48,6 +48,26 @@ def _grid_layout(n: int, s: int) -> tuple[int, int]:
     """
     v = os.environ.get("NPCD_LN_ROWS", "").strip()
     if not v or v == "0":
+        # Large-input guard: above every measured training/eval config
+        # (stage-2 train 32x520 = 16,640 rows) the per-batch slab layout
+        # can exceed the 16 MB scoped-VMEM budget (measured:
+        # generate_batch_size=128 fails to compile with an 18.28M scoped
+        # allocation in the lnres fwd). LayerNorm is per-row, so use
+        # smaller row blocks — numerics identical in every layout (see
+        # module docstring + tests/test_layer_norm.py row-block test).
+        if n * s >= 32768 and s > 128:
+            # Split only the row dim s (never merge across the batch dim:
+            # (n, s) -> (n*k, s/k) is a layout-preserving row split that
+            # keeps batch rows contiguous, so batch sharding under GSPMD
+            # stays representable). Largest divisor of s that is a
+            # multiple of 8 sublanes and <= 512 rows.
+            r = 0
+            for cand in range(8, min(s, 512) + 1, 8):
+                if s % cand == 0:
+                    r = cand
+            if r == 0 or r == s:
+                return n, s
+            return n * (s // r), r
         return n, s
     ns = n * s
     if v == "auto":
