@@ -18,8 +18,11 @@ grid does not have to follow the batch dim. Setting NPCD_LN_ROWS=R (a
 multiple of 16 dividing N*S) re-blocks the flattened token stream
 [N*S, W] into [N*S/R, R, W] slabs — the same kernels run over a different
 grid/block-size trade-off (DMA pipelining granularity vs per-program
-overhead). NPCD_LN_ROWS=auto picks the largest divisor <= 1024. Unset/0
-keeps the per-batch slab layout. Numerics are identical in every layout
+overhead). NPCD_LN_ROWS=auto picks the largest divisor <= 1024. Unset
+keeps the per-batch slab layout except for very large inputs, where a
+VMEM guard re-blocks the row dim (see _grid_layout). An explicit
+NPCD_LN_ROWS=0 forces the pure slab layout and skips the guard (debug /
+A-B escape hatch). Numerics are identical in every layout
 (each row is normalized independently); `tools/tputime.py` is the intended
 A/B harness.
 """
@@ -47,7 +50,11 @@ def _grid_layout(n: int, s: int) -> tuple[int, int]:
     invalid settings fall back to the slab layout.
     """
     v = os.environ.get("NPCD_LN_ROWS", "").strip()
-    if not v or v == "0":
+    if v == "0":
+        # Explicit 0: force the pure per-batch slab layout, skipping the
+        # large-input guard (debug / A-B escape hatch).
+        return n, s
+    if not v:
         # Large-input guard: above every measured training/eval config
         # (stage-2 train 32x520 = 16,640 rows) the per-batch slab layout
         # can exceed the 16 MB scoped-VMEM budget (measured:
@@ -60,9 +67,11 @@ def _grid_layout(n: int, s: int) -> tuple[int, int]:
             # (n, s) -> (n*k, s/k) is a layout-preserving row split that
             # keeps batch rows contiguous, so batch sharding under GSPMD
             # stays representable). Largest divisor of s that is a
-            # multiple of 8 sublanes and <= 512 rows.
+            # multiple of 16 (bf16 sublane-tile alignment, same constraint
+            # as the env path) and <= 512 rows; no such divisor -> keep
+            # the proven slab layout.
             r = 0
-            for cand in range(8, min(s, 512) + 1, 8):
+            for cand in range(16, min(s, 512) + 1, 16):
                 if s % cand == 0:
                     r = cand
             if r == 0 or r == s:

@@ -124,6 +124,50 @@ def test_grid_layout_fallbacks(monkeypatch):
     assert _grid_layout(32, 520) == (26, 640)
 
 
+def test_grid_layout_large_input_guard(monkeypatch):
+    """Default-path VMEM guard: >=32768-row inputs get their row dim split
+    into 16-multiple blocks (bf16 sublane-tile alignment); when s has no
+    16-multiple divisor the proven slab layout is kept; explicit
+    NPCD_LN_ROWS=0 skips the guard entirely."""
+    from npcd_tpu.ops.pallas.layer_norm import _grid_layout
+
+    monkeypatch.delenv("NPCD_LN_ROWS", raising=False)
+    # Every measured training/eval config stays on the slab layout.
+    assert _grid_layout(32, 520) == (32, 520)    # stage-2 train, 16,640 rows
+    assert _grid_layout(16, 513) == (16, 513)
+    # s=1040 (generate_batch 128 equivalent rows): 16-multiple split found.
+    assert _grid_layout(64, 1040) == (320, 208)
+    # s=520 above threshold: no 16-multiple divisor of 520 -> slab fallback
+    # (a mult-of-8-only split like r=104 would 16-misalign bf16 tiles).
+    assert _grid_layout(64, 520) == (64, 520)
+    # Explicit 0 forces slab even where the guard would re-block.
+    monkeypatch.setenv("NPCD_LN_ROWS", "0")
+    assert _grid_layout(64, 1040) == (64, 1040)
+
+
+def test_layer_norm_guard_numerics_large_input(monkeypatch):
+    """Numerics parity of the guard's re-blocked layout on a >=32768-row
+    input against the forced slab layout (NPCD_LN_ROWS=0)."""
+    from npcd_tpu.ops.pallas import layer_norm as ln_mod
+
+    n, s, w = 32, 1040, 128  # ns=33280 >= 32768 -> guard splits s into 208s
+    monkeypatch.delenv("NPCD_LN_ROWS", raising=False)
+    assert ln_mod._grid_layout(n, s) == (160, 208)
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, s, w)) * 2 + 0.5
+    gamma = jax.random.normal(jax.random.PRNGKey(1), (w,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(2), (w,))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            y_guard = np.asarray(ln_mod.layer_norm(x, gamma, beta))
+            monkeypatch.setenv("NPCD_LN_ROWS", "0")
+            y_slab = np.asarray(ln_mod.layer_norm(x, gamma, beta))
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(y_guard, y_slab, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(y_guard, np.asarray(_ref_ln(x, gamma, beta)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_layer_norm_residual_values_and_grads():
     """Fused residual-add LayerNorm (used by every transformer block on
     TPU): values and all four gradients, incl. both incoming cotangents

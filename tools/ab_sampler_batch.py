@@ -14,6 +14,7 @@ sampling hours for 1000 objects x 1000 steps.
 Usage: python tools/ab_sampler_batch.py [--batches 32,64] [--scan 30]
 """
 import argparse
+import math
 import os.path as osp
 import sys
 import time
@@ -69,13 +70,13 @@ def main():
         dt = time.perf_counter() - t0
         steps_s = scan_len / dt
         # 1000 objects x 1000 reverse steps, batched b at a time
-        import math
         n_batches = math.ceil(1000 / b)
         hours = n_batches * 1000 / steps_s / 3600
         results.append((b, steps_s, b * steps_s, hours))
         print(f"batch {b:4d}: {steps_s:6.2f} steps/s  "
               f"{b * steps_s:8.1f} sample-steps/s  "
-              f"sampling(1000 obj): {hours:.3f} h  (compile {compile_s:.0f}s)",
+              f"sampling(1000 obj): {hours:.3f} h  "
+              f"(compile+first-run {compile_s:.0f}s)",
               flush=True)
 
     best = max(results, key=lambda r: r[2])
