@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 A100_EST_STEPS_PER_SEC = 4.2
@@ -479,7 +480,81 @@ def bench_render_rays(preset: str) -> float:
         acc = out.sum() if acc is None else acc + out.sum()
     float(acc)
     dt = time.perf_counter() - t0
-    return iters * views * res * res / dt
+    peak_mb = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            peak_mb = stats["peak_bytes_in_use"] / (1024 * 1024)
+    except Exception:
+        pass
+    return iters * views * res * res / dt, peak_mb
+
+
+def _eval_protocol_estimates(rays_per_sec: float, sampler_steps: float) -> dict:
+    """Wall-clock estimates for the full FID protocol (reference
+    README.md:89-93: 1000 objects x 251 poses x 128^2 rays rendered, 1000
+    DDPM steps x 1000/32 batches, and 251,000 images through Inception —
+    the extraction phase the r04 estimate omitted).
+
+    Extraction rates come from docs/experiments/fid_extract.json
+    (tools/ab_fid_extract.py: TorchScript stand-in on host CPU + the
+    inception_jax TPU path). The TorchScript path is the number-parity
+    path (reference npcd/utils/fidkid.py:30-34); it runs on the host CPU
+    and eval/diffusion_evaluation.py overlaps it with rendering via a
+    worker thread, so its cost enters as max(render, extract). The
+    jax-Inception path shares the TPU with rendering (serial add), but
+    its numbers are not interchangeable with the TorchScript graph's
+    (utils/inception_jax.py NOTE)."""
+    render_h = 1000 * 251 * 128 * 128 / rays_per_sec / 3600
+    sampler_h = (1000 / 32) * 1000 / sampler_steps / 3600
+    out = {
+        "diffusion_eval_render_hours": round(render_h, 2),
+        "diffusion_eval_sampler_hours": round(sampler_h, 2),
+        # render + sampler only (the r04 definition, kept for continuity)
+        "diffusion_eval_est_hours_no_extract": round(render_h + sampler_h, 2),
+    }
+    extract_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs", "experiments", "fid_extract.json",
+    )
+    torch_h = jax_h = None
+    if os.path.isfile(extract_path):
+        try:
+            with open(extract_path) as f:
+                fx = json.load(f)
+            if "torch_cpu" in fx:
+                torch_h = 251000 / fx["torch_cpu"]["imgs_per_s"] / 3600
+                out["fid_extract_torch_cpu_imgs_per_s"] = fx["torch_cpu"][
+                    "imgs_per_s"]
+                out["fid_extract_torch_cpu_hours"] = round(torch_h, 2)
+                out["fid_extract_torch_cpu_threads"] = fx["torch_cpu"].get(
+                    "threads")
+            if "jax" in fx:
+                jax_h = 251000 / fx["jax"]["imgs_per_s"] / 3600
+                out["fid_extract_jax_imgs_per_s"] = fx["jax"]["imgs_per_s"]
+                out["fid_extract_jax_backend"] = fx["jax"].get("backend")
+                out["fid_extract_jax_hours"] = round(jax_h, 3)
+        except Exception:
+            pass
+    if torch_h is not None:
+        # parity path: TorchScript extraction on host CPU, overlapped with
+        # the TPU render (diffusion_evaluation.py extractor worker)
+        out["diffusion_eval_est_hours"] = round(
+            sampler_h + max(render_h, torch_h), 2)
+        # DP-8: render/sampler shard over chips; the host-CPU extractor
+        # does not (per-host singleton) — it becomes the wall at this
+        # host's core count
+        out["diffusion_eval_est_hours_dp8"] = round(
+            sampler_h / 8 + max(render_h / 8, torch_h), 2)
+    else:
+        out["diffusion_eval_est_hours"] = out["diffusion_eval_est_hours_no_extract"]
+        out["diffusion_eval_est_hours_dp8"] = round((render_h + sampler_h) / 8, 2)
+    if jax_h is not None:
+        out["diffusion_eval_est_hours_jax_inception"] = round(
+            render_h + sampler_h + jax_h, 2)
+        out["diffusion_eval_est_hours_jax_inception_dp8"] = round(
+            (render_h + sampler_h + jax_h) / 8, 2)
+    return out
 
 
 def main():
@@ -535,8 +610,10 @@ def main():
             if bd:
                 out["op_breakdown"] = bd
         elif args.only == "render":
-            out = {"metric": "render_rays_per_sec",
-                   "value": round(bench_render_rays(preset), 1)}
+            v, peak_mb = bench_render_rays(preset)
+            out = {"metric": "render_rays_per_sec", "value": round(v, 1)}
+            if peak_mb:
+                out["render_peak_mem_mb"] = round(peak_mb, 1)
         else:
             v, rays, bd = bench_stage1_steps(preset)
             out = {"metric": "stage1_steps_per_sec", "value": round(v, 3),
@@ -549,8 +626,10 @@ def main():
     steps_per_sec, sampler_steps, op_breakdown = bench_denoiser_steps(preset, with_sampler=args.sampler)
     note = f" sampler steps/s: {sampler_steps:.1f}" if sampler_steps else ""
     print(f"denoiser steps/s: {steps_per_sec:.4f}{note}", file=sys.stderr)
-    rays_per_sec = bench_render_rays(preset)
-    print(f"render rays/s: {rays_per_sec:.1f}", file=sys.stderr)
+    rays_per_sec, render_peak_mb = bench_render_rays(preset)
+    print(f"render rays/s: {rays_per_sec:.1f}"
+          + (f" (peak mem {render_peak_mb:.0f} MB)" if render_peak_mb else ""),
+          file=sys.stderr)
     s1_steps, s1_rays, s1_breakdown = bench_stage1_steps(preset)
     print(f"stage1 steps/s: {s1_steps:.3f} train rays/s: {s1_rays:.0f}", file=sys.stderr)
 
@@ -611,25 +690,27 @@ def main():
             **({"op_breakdown": op_breakdown} if op_breakdown else {}),
             **({"stage1_op_breakdown": s1_breakdown} if s1_breakdown else {}),
             **(
-                {
-                    # single-chip wall-clock estimate for the full FID
-                    # protocol (reference README.md:89-93: 1000 objects x
-                    # 251 poses x 128^2 rays rendered + 1000 DDPM steps x
-                    # 1000/32 batches), from the rates measured above.
-                    # The reference runs this in ~2 GPU-days at
-                    # render_batch_size=1 (diffusion_evaluation.py:163-175).
-                    "diffusion_eval_est_hours": round(
-                        (1000 * 251 * 128 * 128 / rays_per_sec
-                         + (1000 / 32) * 1000 / sampler_steps) / 3600, 2),
-                    # derived v5e-8 estimate: the eval is object/view-DP
-                    # (DiffusionEvaluation(mesh=...), 8-fake-device
-                    # equivalence tested in tests/test_eval_pipelines.py)
-                    # and both phases shard embarrassingly
-                    "diffusion_eval_est_hours_dp8": round(
-                        (1000 * 251 * 128 * 128 / rays_per_sec
-                         + (1000 / 32) * 1000 / sampler_steps) / 3600 / 8, 2),
-                }
+                _eval_protocol_estimates(rays_per_sec, sampler_steps)
                 if sampler_steps
+                else {}
+            ),
+            # PSNR protocol wall-clock (reference eval_pointnerf.py: 2347
+            # train objects x 50 views, full 128^2 renders, batch 1) at
+            # the measured eval render rate; view-DP over a v5e-8 shards
+            # it embarrassingly (PointNeRFEvaluation(mesh=...)).
+            **(
+                {
+                    "pointnerf_eval_est_hours": round(
+                        2347 * 50 * 128 * 128 / rays_per_sec / 3600, 2),
+                    "pointnerf_eval_est_hours_dp8": round(
+                        2347 * 50 * 128 * 128 / rays_per_sec / 3600 / 8, 2),
+                }
+                if preset == "full"
+                else {}
+            ),
+            **(
+                {"render_peak_mem_mb": round(render_peak_mb, 1)}
+                if render_peak_mb
                 else {}
             ),
             "baseline_note": "vs estimated A100 stage-2 step rate 4.2/s (roofline; reference publishes no throughput)",

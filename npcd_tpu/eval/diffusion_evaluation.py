@@ -57,9 +57,17 @@ class DiffusionEvaluation:
         verbose: bool = True,
         mesh=None,
         render_dtype=None,
+        overlap_extraction: bool = True,
     ):
         import os.path as _osp
 
+        # Feed the (host-CPU) Inception extractor from a single worker
+        # thread so feature extraction overlaps the next render group's
+        # TPU work instead of serializing with it (the reference runs
+        # extraction inline per feed chunk, diffusion_evaluation.py:179-181;
+        # torch/np ops release the GIL, so the overlap is real). Bounded to
+        # 2 in-flight groups so the image backlog stays ~400 MB.
+        self.overlap_extraction = overlap_extraction
         self.out_dir = out_dir
         self.num_samples = num_samples
         self.generate_batch_size = generate_batch_size
@@ -189,6 +197,25 @@ class DiffusionEvaluation:
             )
             return out["channels"]
 
+        executor = feed_futures = None
+        if self.overlap_extraction:
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fid-extract"
+            )
+            feed_futures = []
+
+        def feed_fakes(images_flat):
+            if executor is None:
+                fidkid.feed(images_flat, "fakes")
+                return
+            while len(feed_futures) >= 2:  # bound the image backlog
+                feed_futures.pop(0).result()
+            feed_futures.append(
+                executor.submit(fidkid.feed, images_flat, "fakes")
+            )
+
         done = 0
         qualitative_stride = max(1, self.num_samples // max(num_qualitatives, 1))
         for gen_idx, n_gen in enumerate(
@@ -246,10 +273,9 @@ class DiffusionEvaluation:
                 )
                 images = np.clip(images, 0.0, 1.0)
                 images = np.round(images * 255.0) / 255.0  # 255-level quantization
-                fidkid.feed(
+                feed_fakes(
                     images.reshape(g * num_poses, self.resolution,
-                                   self.resolution, 3),
-                    "fakes",
+                                   self.resolution, 3)
                 )
 
                 if self.out_dir is not None:
@@ -259,6 +285,11 @@ class DiffusionEvaluation:
                 done += g
             if self.verbose:
                 logging.info(f"diffusion eval: {done}/{self.num_samples} objects")
+
+        if executor is not None:
+            for f in feed_futures:  # drain (re-raises extraction errors)
+                f.result()
+            executor.shutdown()
 
         results = pd.Series(fidkid.summary(), name="metric")
         logging.info(f"Diffusion evaluation results:\n{results}")

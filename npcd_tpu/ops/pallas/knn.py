@@ -127,7 +127,19 @@ def pallas_min_d2_t(xt: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     min squared distance [B, N] f32, natively batched."""
     b, _, n = xt.shape
     p = points.shape[1]
-    blk = _pick_blk(n, _round_up(p, 8))
+    p_pad8 = _round_up(p, 8)
+    blk = _pick_blk(n, p_pad8)
+    # The kernel's [BLK] -> [BLK/128, 128] output reshape is a Mosaic
+    # shape cast that requires the sublane count BLK/128 to be 1 or a
+    # multiple of 8 (measured: 16 rows compiles, 12 rows fails with
+    # 'infer-vector-layout: unsupported shape cast'). Round the block up
+    # to 8 lane-tiles when the [P_pad, BLK] VMEM buffers allow, else drop
+    # to the single-row block.
+    if (blk // _LANE) % 8 and blk // _LANE != 1:
+        if p_pad8 * 8 * _LANE * 4 * 2 <= 12 * 1024 * 1024:
+            blk = _round_up(blk, 8 * _LANE)
+        else:
+            blk = _LANE
     xq, pp, n_pad, p_pad = _prep(xt, points, blk)
     rows = blk // _LANE
     out = pl.pallas_call(

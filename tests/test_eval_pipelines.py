@@ -107,6 +107,24 @@ def test_diffusion_evaluation_e2e(tmp_path):
     again = ev(npcd, pn_params, dstate, rng=jax.random.PRNGKey(99))
     pd.testing.assert_series_equal(results, again)
 
+    # the overlapped extractor (worker thread feeding Inception while the
+    # next render group runs — the default) must be metric-identical to
+    # the serial path: same feeds, same order, only the timing overlaps
+    serial = DiffusionEvaluation(
+        out_dir=None,
+        num_samples=2,
+        poses=extr, intrinsics=intr,
+        inception_pkl_path=pkl_path,
+        feature_extractor="random_projection:8",
+        generate_batch_size=2,
+        render_pose_batch=2,
+        resolution=RES,
+        verbose=False,
+        overlap_extraction=False,
+    )(npcd, pn_params, dstate, rng=jax.random.PRNGKey(3),
+      num_qualitatives=0)
+    assert serial["fid"] == results["fid"]
+
 
 def test_diffusion_evaluation_mesh_dp_matches_single(tmp_path):
     """DP eval over the 8 fake devices ('data' mesh: sharded sampler +

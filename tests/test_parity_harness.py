@@ -146,6 +146,71 @@ def test_parity_harness_end_to_end(tmp_path):
     assert np.isfinite(kid)
 
 
+def test_check_assets_dry_run(tmp_path):
+    """tools/parity_eval.py --check-assets: a fully staged synthetic
+    manifest passes; each missing/corrupt asset is reported precisely."""
+    from tools.parity_eval import check_assets
+
+    ckpt = _reference_checkpoint(tmp_path)
+    config = _config(tmp_path)
+
+    # fake SRN root laid out per the real train list's first ids
+    lists_dir = osp.join(osp.dirname(__file__), "..", "npcd_tpu", "data",
+                         "sample_lists")
+    with open(osp.join(lists_dir, "srn_cars_train.list")) as f:
+        ids = [ln.strip() for ln in f if ln.strip()][:3]
+    srn_root = tmp_path / "cars_train"
+    for oid in ids:
+        obj = srn_root / oid
+        (obj / "rgb").mkdir(parents=True)
+        (obj / "pose").mkdir()
+        (obj / "rgb" / "000000.png").write_bytes(b"\x89PNG fake")
+        (obj / "pose" / "000000.txt").write_text("1 0 0 0\n0 1 0 0\n0 0 1 0\n0 0 0 1\n")
+        (obj / "intrinsics.txt").write_text("16 0 8 8\n")
+        np.savez(obj / "pointcloud3_512.npz", points=np.zeros((4, 3)))
+
+    class TinyGraph(torch.nn.Module):
+        def forward(self, x):
+            return x.mean(dim=(1, 2, 3))
+
+    ts_path = str(tmp_path / "inception.pt")
+    torch.jit.save(torch.jit.script(TinyGraph()), ts_path)
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(16, 2048)).astype(np.float32)
+    pkl_path = str(tmp_path / "stats.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"mean": feats.mean(0),
+                     "cov": np.cov(feats, rowvar=False),
+                     "feats_np": feats}, f)
+
+    problems = check_assets(
+        weights=ckpt, srn_root=str(srn_root), inception=ts_path,
+        inception_pkl=pkl_path, config=config,
+    )
+    assert problems == [], problems
+
+    # missing everything -> one precise problem per asset
+    problems = check_assets(
+        weights=str(tmp_path / "no.pt"), srn_root=str(tmp_path / "no_dir"),
+        inception=str(tmp_path / "no_inc.pt"),
+        inception_pkl=str(tmp_path / "no.pkl"), config=config,
+    )
+    assert len(problems) == 4 and all(p.startswith("MISSING") for p in problems)
+
+    # corrupt pkl schema
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"mean": np.zeros(7)}, f)
+    problems = check_assets(inception_pkl=pkl_path)
+    assert any("missing 'cov'" in p for p in problems)
+    assert any("mean shape" in p for p in problems)
+
+    # wrong-n_obj checkpoint
+    bad_cfg = dict(config, model=dict(config["model"], n_obj=N_OBJ + 5))
+    problems = check_assets(weights=ckpt, config=bad_cfg)
+    assert any("feats table" in p for p in problems)
+
+
 def test_parity_harness_structure_mismatch_raises(tmp_path):
     ckpt = _reference_checkpoint(tmp_path)
     config = _config(tmp_path)

@@ -170,6 +170,167 @@ def run_fid(
     return float(results["fid"]), float(results["kid"])
 
 
+def check_assets(
+    weights=None,
+    srn_root=None,
+    inception=None,
+    inception_pkl=None,
+    config=None,
+    n_sample_ids=3,
+):
+    """Validate the ASSETS.md staging manifest without running anything
+    expensive: paths, checkpoint keys/shapes, SRN per-object layout,
+    TorchScript graph load, Inception-stats pickle schema. Returns a list
+    of problem strings (empty = everything needed is in place), so a run
+    on a freshly provisioned machine fails in seconds, not hours."""
+    problems = []
+
+    def missing(what, path):
+        problems.append(f"MISSING {what}: {path}")
+
+    if weights is not None:
+        if not osp.isfile(weights):
+            missing("reference checkpoint (npcd_srncars.pt)", weights)
+        else:
+            import torch
+
+            try:
+                sd = torch.load(weights, map_location="cpu", weights_only=False)
+                if isinstance(sd, dict) and "model" in sd and not any(
+                    k.startswith("pointnerf.") for k in sd
+                ):
+                    sd = sd["model"]
+                pn_keys = [k for k in sd if k.startswith("pointnerf.")]
+                if not pn_keys:
+                    problems.append(
+                        f"BAD checkpoint {weights}: no 'pointnerf.*' keys "
+                        f"(got {sorted(sd)[:5]}...)"
+                    )
+                else:
+                    # the FlexEmbedding tables ride in extra-state dicts;
+                    # locate the feats table and check n_obj consistency
+                    n_obj = (config or {}).get("model", {}).get("n_obj")
+                    feats_keys = [
+                        k for k in pn_keys
+                        if "feats" in k and "extra_state" in k.replace("-", "_")
+                    ]
+                    if n_obj and feats_keys:
+                        emb = sd[feats_keys[0]]
+                        # FlexEmbedding extra-state nests {'emb': {'weight':
+                        # tensor}} (reference flex_embedding.py:9-26)
+                        while isinstance(emb, dict):
+                            emb = next(iter(emb.values())) if emb else None
+                        rows = (
+                            np.shape(emb)[0]
+                            if emb is not None and np.ndim(emb) else None
+                        )
+                        if rows is not None and rows != n_obj:
+                            problems.append(
+                                f"BAD checkpoint {weights}: feats table has "
+                                f"{rows} objects, config expects {n_obj}"
+                            )
+                if not any(k.startswith("diffusion.") for k in sd):
+                    problems.append(
+                        f"WARN checkpoint {weights}: no 'diffusion.*' keys "
+                        f"(stage-2 parity will be impossible)"
+                    )
+            except Exception as e:
+                problems.append(f"BAD checkpoint {weights}: torch.load failed: {e}")
+
+    if srn_root is not None:
+        if not osp.isdir(srn_root):
+            missing("SRN root dir", srn_root)
+        else:
+            lists_dir = osp.join(
+                osp.dirname(osp.realpath(__file__)), "..", "npcd_tpu", "data",
+                "sample_lists",
+            )
+            try:
+                with open(osp.join(lists_dir, "srn_cars_train.list")) as f:
+                    ids = [ln.strip() for ln in f if ln.strip()]
+            except OSError as e:
+                problems.append(f"BAD sample list: {e}")
+                ids = []
+            found_any = False
+            for oid in ids[:n_sample_ids]:
+                obj = osp.join(srn_root, oid)
+                if not osp.isdir(obj):
+                    missing(f"SRN object dir ({oid})", obj)
+                    continue
+                found_any = True
+                for sub in ("rgb/000000.png", "pose/000000.txt",
+                            "intrinsics.txt"):
+                    if not osp.isfile(osp.join(obj, sub)):
+                        missing(f"SRN file ({oid})", osp.join(obj, sub))
+                has_pc = any(
+                    osp.isfile(osp.join(obj, n))
+                    for n in ("pointcloud3_512.npz", "pointcloud3.npz")
+                )
+                if not has_pc:
+                    missing(
+                        f"SRN point cloud ({oid}, pointcloud3_512.npz or "
+                        f"pointcloud3.npz for FPS fallback)",
+                        osp.join(obj, "pointcloud3*.npz"),
+                    )
+            if ids and not found_any:
+                problems.append(
+                    f"BAD SRN root {srn_root}: none of the first "
+                    f"{n_sample_ids} train-list object dirs exist — wrong "
+                    f"root? (expected e.g. {ids[0]}/rgb/...)"
+                )
+
+    if inception is not None:
+        if not osp.isfile(inception):
+            missing("StyleGAN Inception TorchScript graph", inception)
+        else:
+            import torch
+
+            try:
+                torch.jit.load(inception, map_location="cpu")
+            except Exception as e:
+                problems.append(
+                    f"BAD inception graph {inception}: torch.jit.load "
+                    f"failed: {e}"
+                )
+
+    if inception_pkl is not None:
+        if not osp.isfile(inception_pkl):
+            missing("Inception statistics pickle", inception_pkl)
+        else:
+            import pickle
+
+            try:
+                with open(inception_pkl, "rb") as f:
+                    d = pickle.load(f)
+                for key in ("mean", "cov"):
+                    if key not in d:
+                        problems.append(
+                            f"BAD inception pkl {inception_pkl}: missing "
+                            f"'{key}' (reference fidkid.py:47-55 schema)"
+                        )
+                if "mean" in d and np.shape(d["mean"]) != (2048,):
+                    problems.append(
+                        f"BAD inception pkl {inception_pkl}: mean shape "
+                        f"{np.shape(d['mean'])}, expected (2048,)"
+                    )
+                if "cov" in d and np.shape(d["cov"]) != (2048, 2048):
+                    problems.append(
+                        f"BAD inception pkl {inception_pkl}: cov shape "
+                        f"{np.shape(d['cov'])}, expected (2048, 2048)"
+                    )
+                if "feats_np" not in d:
+                    problems.append(
+                        f"WARN inception pkl {inception_pkl}: no 'feats_np' "
+                        f"(KID needs per-image features; FID still works)"
+                    )
+            except Exception as e:
+                problems.append(
+                    f"BAD inception pkl {inception_pkl}: unpickle failed: {e}"
+                )
+
+    return problems
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--weights", required=True, help="reference npcd_srncars.pt")
@@ -190,10 +351,43 @@ def main(argv=None):
                    help="pose subset for FID smoke runs (default: all 251)")
     p.add_argument("--generate-batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--validity", choices=["knn", "voxel"], default=None,
+                   help="sample-validity semantic for the renders: 'voxel' "
+                        "= the CUDA voxel-grid occupancy window the "
+                        "published weights were trained/evaluated under "
+                        "(reference pointnerf.py:67-75); 'knn' = the "
+                        "reference's pure-tensor fallback semantic "
+                        "(aggregator.py:42-58, npcd_tpu production "
+                        "default). Default: the config's render_config "
+                        "(knn). See docs/PARITY.md 'validity' and "
+                        "docs/experiments/validity_ab.json.")
+    p.add_argument("--check-assets", action="store_true",
+                   help="validate the ASSETS.md manifest (paths, "
+                        "checkpoint keys, SRN layout, TS graph, stats "
+                        "pkl) and exit — no evaluation is run")
     args = p.parse_args(argv)
 
     from npcd_tpu.utils import load_config, logging
     from npcd_tpu.utils.util import set_seed
+
+    if args.check_assets:
+        config = load_config(args.config)
+        problems = check_assets(
+            weights=args.weights,
+            srn_root=args.srn_root,
+            inception=args.inception,
+            inception_pkl=args.inception_pkl,
+            config=config,
+        )
+        hard = [q for q in problems if not q.startswith("WARN")]
+        for q in problems:
+            print(q)
+        if hard:
+            print(f"ASSET CHECK FAILED: {len(hard)} problem(s)")
+            sys.exit(1)
+        print("ASSET CHECK OK"
+              + (f" ({len(problems)} warning(s))" if problems else ""))
+        return
 
     set_seed(args.seed)
     if args.srn_root:
@@ -205,6 +399,10 @@ def main(argv=None):
         f.write(" ".join(sys.argv) + "\n")
 
     config = load_config(args.config)
+    if args.validity:
+        rc = dict(config.get("render_config", {}))
+        rc["validity"] = args.validity
+        config["render_config"] = rc
     logging.info(f"Converting reference checkpoint {args.weights} ...")
     converted = convert_weights(args.weights, config)
 

@@ -592,6 +592,227 @@ def run_stage2(steps: int, seed: int = 0, n_obj: int = 8):
     }
 
 
+def run_stage2_matched(steps: int, seed: int = 0, n_obj: int = 8):
+    """Matched-draw stage-2 comparison: record the reference trainer's
+    actual random draws (timestep randint, the two q_sample randn_likes,
+    DataLoader batch order) and inject them into a jitted npcd_tpu step
+    that calls the same normalize + p_losses + fused-AdamW pieces
+    DiffusionTraining composes. RNG eliminated; any trajectory gap is a
+    semantic difference.
+
+    Reference draw sites (all torch global RNG, CPU):
+      * t ~ randint(0, 1000, [N]) (diffusion_model.py:104)
+      * q_sample coords noise randn_like [N, 3, P]  (gaussian_diffusion.py:68-76)
+      * q_sample feats noise randn_like [N, F, P]
+      * DataLoader shuffle — recovered by matching recorded batch rows
+        against the known latent set
+    """
+    import torch
+
+    from tools.ref_oracle.harness import build_ref_diffusion, tpu_diffusion_from_ref
+    from tools.ref_oracle.shims import import_reference
+
+    import_reference()
+    from npcd.train.diffusion_training import (
+        DiffusionTraining as RefDiffusionTraining,
+    )
+
+    ref_dm = build_ref_diffusion(seed=seed)
+    dm, dstate = tpu_diffusion_from_ref(ref_dm, qkv_groups=1)
+    feat_dim, num_points = ref_dm.feats_dim, ref_dm.num_points
+
+    rng_np = np.random.default_rng(seed + 1)
+    all_coords = rng_np.normal(size=(n_obj, 3, num_points)).astype(np.float32)
+    all_feats = rng_np.normal(size=(n_obj, feat_dim, num_points)).astype(
+        np.float32)
+
+    class RefLatentDataset(torch.utils.data.Dataset):
+        name = "RefLatentDataset"
+
+        def __len__(self):
+            return n_obj
+
+        def __getitem__(self, i):
+            return {"coords": all_coords[i], "feats": all_feats[i]}
+
+        def get_loader(self, batch_size, shuffle, pin_memory, num_workers,
+                       drop_last):
+            return torch.utils.data.DataLoader(
+                self, batch_size=batch_size, shuffle=shuffle,
+                pin_memory=pin_memory, num_workers=num_workers,
+                drop_last=drop_last,
+            )
+
+        def get_all_coords(self):
+            return np.concatenate(list(all_coords), axis=-1)
+
+        def get_all_feats(self):
+            return np.concatenate(list(all_feats), axis=-1)
+
+    class RefModelWrapper(torch.nn.Module):
+        def __init__(self, diffusion):
+            super().__init__()
+            self.diffusion = diffusion
+
+    wrapper = RefModelWrapper(ref_dm)
+
+    # ---- draw-recording hooks ------------------------------------------
+    rec_steps = []
+    cur = {"randints": [], "randns": []}
+    orig_randint = torch.randint
+    orig_randn = torch.randn
+
+    def randint_hook(*a, **k):
+        out = orig_randint(*a, **k)
+        cur["randints"].append(out.clone().numpy())
+        return out
+
+    # p_losses draws noise via torch.randn(shape, ...) (reference
+    # gaussian_diffusion.py:208,213), not randn_like
+    def randn_hook(*a, **k):
+        out = orig_randn(*a, **k)
+        cur["randns"].append(out.clone().numpy())
+        return out
+
+    ref_losses = []
+    orig_compute_loss = ref_dm.compute_loss
+
+    def recording_compute_loss(coords, feats):
+        loss, sub, pw = orig_compute_loss(coords=coords, feats=feats)
+        ref_losses.append(float(loss.detach()))
+        rec_steps.append({
+            "batch_coords": coords.detach().numpy().copy(),
+            **{k: list(v) for k, v in cur.items()},
+        })
+        for v in cur.values():
+            v.clear()
+        return loss, sub, pw
+
+    ref_dm.compute_loss = recording_compute_loss
+
+    lr, wd = 7e-5, 0.01
+    torch.manual_seed(seed + 100)
+    torch.randint = randint_hook
+    torch.randn = randn_hook
+    t0 = time.time()
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            training = RefDiffusionTraining(
+                out_dir=tmp, model=wrapper, dataset=RefLatentDataset(),
+                batch_size=n_obj, base_learning_rate=lr, weight_decay=wd,
+                max_iterations=steps, use_ema=True,
+                ema_params=[(1, 0.9999, 0.9999, False)], dtype="float32",
+                num_workers=0, print_interval=max(1, steps // 4),
+                log_scalars_interval=10**9, log_interval=10**9,
+                save_checkpoint_interval_min=10**9, verbose=False,
+            )
+            training()
+    finally:
+        torch.randint = orig_randint
+        torch.randn = orig_randn
+        ref_dm.compute_loss = orig_compute_loss
+    ref_sec = time.time() - t0
+    assert len(rec_steps) == steps, (len(rec_steps), steps)
+
+    def parse_step(rec):
+        # batch order: match each recorded row to the known latents
+        bc = rec["batch_coords"]
+        order = np.array(
+            [int(np.argmin(np.abs(all_coords - row).sum(axis=(1, 2))))
+             for row in bc], np.int32)
+        assert len(set(order.tolist())) == n_obj, order
+        ts = [a for a in rec["randints"] if a.shape == (n_obj,)]
+        assert len(ts) == 1, [a.shape for a in rec["randints"]]
+        nc = [a for a in rec["randns"]
+              if a.shape == (n_obj, 3, num_points)]
+        nf = [a for a in rec["randns"]
+              if a.shape == (n_obj, feat_dim, num_points)]
+        assert len(nc) == 1 and len(nf) == 1, \
+            [a.shape for a in rec["randns"]]
+        return order, ts[0].astype(np.int32), nc[0], nf[0]
+
+    # ---- npcd_tpu side: normalize + p_losses + fused AdamW with the
+    # recorded draws injected --------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from npcd_tpu.models.diffusion.normalizers import normalize
+    from npcd_tpu.train.diffusion_training import DiffusionTrainState
+    from npcd_tpu.train.fused_update import FusedAdamWEma
+    from npcd_tpu.utils.ema import EmaConfig
+
+    dstate = dm.fit_normalizers(
+        dstate, np.concatenate(list(all_coords), axis=-1),
+        np.concatenate(list(all_feats), axis=-1),
+    )
+    ema_cfgs = (EmaConfig.from_tuple((1, 0.9999, 0.9999, False)),)
+    fused = FusedAdamWEma(learning_rate=lr, weight_decay=wd,
+                          clip_max_norm=None, ema_cfgs=ema_cfgs)
+    tx = fused.make_tx()
+    state = DiffusionTrainState(
+        params=dstate.params, opt_state=tx.init(dstate.params),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, dstate.params),),
+        step=jnp.zeros((), jnp.int32),
+        coords_norm=dstate.coords_norm, feats_norm=dstate.feats_norm,
+    )
+
+    coords_norm, feats_norm = dstate.coords_norm, dstate.feats_norm
+
+    @jax.jit
+    def matched_step(state, coords, feats, t, noise_c, noise_f):
+        def loss_fn(params):
+            c = normalize(coords_norm, coords)
+            f = normalize(feats_norm, feats)
+            # noise was drawn by the reference on the NORMALIZED tensors;
+            # shapes match either way
+            loss, sub, _ = dm.process.p_losses(
+                jax.random.PRNGKey(0), dm.denoise_fn(params), c, f, t,
+                noise=(noise_c, noise_f),
+            )
+            return loss, sub
+
+        (loss, sub), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_params, new_opt, new_emas, _ = fused.update(
+            grads, state.opt_state, state.params, state.ema_params,
+            state.step,
+        )
+        return state.replace(
+            params=new_params, opt_state=new_opt, ema_params=new_emas,
+            step=state.step + 1,
+        ), loss
+
+    tpu_losses = []
+    t0 = time.time()
+    for it in range(steps):
+        order, ts, nc, nf = parse_step(rec_steps[it])
+        state, loss = matched_step(
+            state,
+            jnp.asarray(all_coords[order]),
+            jnp.asarray(all_feats[order]),
+            jnp.asarray(ts),
+            jnp.asarray(nc),
+            jnp.asarray(nf),
+        )
+        tpu_losses.append(float(loss))
+    tpu_sec = time.time() - t0
+
+    ref_l, tpu_l = np.asarray(ref_losses), np.asarray(tpu_losses)
+    per_step_rel = np.abs(tpu_l - ref_l) / np.maximum(np.abs(ref_l), 1e-12)
+    stats = band_stats(ref_losses, tpu_losses)
+    return {
+        "mode": "matched_draws",
+        "model": {"width": 32, "layers": 2, "heads": 2,
+                  "num_points": num_points, "feats_dim": feat_dim},
+        "lr": lr, "weight_decay": wd, "n_obj": n_obj,
+        "ref_losses": ref_losses, "tpu_losses": tpu_losses,
+        "per_step_rel_dev_mean": float(per_step_rel.mean()),
+        "per_step_rel_dev_max": float(per_step_rel.max()),
+        "ref_sec": ref_sec, "tpu_sec": tpu_sec,
+        **stats,
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--stage", choices=["1", "2", "both"], default="both")
@@ -620,7 +841,8 @@ def main(argv=None):
            "num_seeds": args.num_seeds}
     seeds = list(range(args.seed, args.seed + args.num_seeds))
     stage1_runner = run_stage1_matched if args.matched else run_stage1
-    for stage, runner in (("stage1", stage1_runner), ("stage2", run_stage2)):
+    stage2_runner = run_stage2_matched if args.matched else run_stage2
+    for stage, runner in (("stage1", stage1_runner), ("stage2", stage2_runner)):
         if args.stage not in (stage[-1], "both"):
             continue
         print(f"== {stage}: reference training vs npcd_tpu ==")
