@@ -595,6 +595,19 @@ def wsum_supported(m: int, k: int) -> bool:
     return k > 0 and m % k == 0 and min(_BLK, m) >= 8 * k
 
 
+def _posenc_cap(dtype, cap: int) -> int:
+    """Pair-block cap, adjusted for compute dtype: the defaults are tuned
+    for bf16 production compute; f32 doubles every VMEM-resident
+    activation, and the bf16-tuned fwd cap oversubscribes scoped VMEM at
+    some shapes (measured: blk 4096 f32 needs 16.36M vs the 16M limit at
+    the tiny-geometry train step). Halve for >=4-byte compute."""
+    import numpy as _np
+
+    if _np.dtype(dtype).itemsize >= 4:
+        return max(512, cap // 2)
+    return cap
+
+
 def _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
                      final_linear, method, reduce_k=0):
     b, f_dim, m = feat_t.shape
@@ -603,15 +616,16 @@ def _posenc_impl_fwd(feat_t, pos_t, weights, n_freqs, freq_mult,
     d_out = weights[-1][0].shape[1]
     w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
     kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
+    cap_fwd = _posenc_cap(feat_t.dtype, _BLK_FWD)
     if reduce_k:
-        grid, blk = _wsum_grid(b, m, reduce_k, cap=_BLK_FWD)
+        grid, blk = _wsum_grid(b, m, reduce_k, cap=cap_fwd)
         out_shape = jax.ShapeDtypeStruct((b, m // reduce_k, d_out),
                                          feat_t.dtype)
         out_spec = pl.BlockSpec((1, blk // reduce_k, d_out),
                                 lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        grid, blk = _grid_and_blk(b, m, cap=_BLK_FWD)
+        grid, blk = _grid_and_blk(b, m, cap=cap_fwd)
         out_shape = jax.ShapeDtypeStruct((b, m, d_out), feat_t.dtype)
         out_spec = pl.BlockSpec((1, blk, d_out), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -640,13 +654,14 @@ def _posenc_impl_bwd(feat_t, pos_t, weights, g, n_freqs, freq_mult,
     n_layers = len(weights)
     w0k, rows_pad = _prep_posenc_w0(weights[0][0], f_dim, pos_dim, n_freqs)
     kweights = ((w0k, weights[0][1]),) + tuple(weights[1:])
+    cap_bwd = _posenc_cap(feat_t.dtype, _BLK_BWD)
     if reduce_k:
-        grid, blk = _wsum_grid(b, m, reduce_k, cap=_BLK_BWD)
+        grid, blk = _wsum_grid(b, m, reduce_k, cap=cap_bwd)
         g_spec = pl.BlockSpec((1, blk // reduce_k, g.shape[-1]),
                               lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
     else:
-        grid, blk = _grid_and_blk(b, m, cap=_BLK_BWD)
+        grid, blk = _grid_and_blk(b, m, cap=cap_bwd)
         g_spec = pl.BlockSpec((1, blk, g.shape[-1]), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
     col = lambda d: pl.BlockSpec((1, d, blk), lambda i, j: (i, 0, j),
