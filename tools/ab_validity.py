@@ -167,10 +167,14 @@ def trained_model_delta(train_steps: int, res: int = 32, views: int = 4):
             num_points=geom.num_points, opts=pn.opts,
             render_config=dataclasses.replace(pn.cfg, validity=validity),
         )
-        pred, _ = pn_v.forward(
+        fwd = jax.jit(
+            lambda p, oi, ii, ee, m=pn_v: m.forward(
+                p, oi, ii, ee, train=False, resolution=res
+            )[0]
+        )
+        pred = fwd(
             params, jnp.arange(geom.n_obj),
             jnp.asarray(scene["intr"]), jnp.asarray(scene["extr"]),
-            train=False, resolution=res,
         )
         preds[validity] = np.asarray(pred["channels"], np.float32)
 

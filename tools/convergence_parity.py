@@ -100,33 +100,48 @@ def build_scene(geom, n_views: int, teacher_seed: int, teacher_bias: float):
         },
     }
 
-    pred, _ = pn.forward(
-        params,
-        jnp.arange(geom.n_obj),
-        jnp.asarray(intr),
-        jnp.asarray(extr),
-        train=False,
-        resolution=geom.resolution,
+    # one jitted eval forward, shared by the teacher render and every
+    # student PSNR eval (identical geometry -> one compile; the un-jitted
+    # forward would dispatch eagerly op-by-op, minutes over the TPU tunnel)
+    eval_fn = jax.jit(
+        lambda p, oi, ii, ee: pn.forward(
+            p, oi, ii, ee, train=False, resolution=geom.resolution
+        )[0]
+    )
+    pred = eval_fn(
+        params, jnp.arange(geom.n_obj), jnp.asarray(intr), jnp.asarray(extr)
     )
     images = np.asarray(pred["channels"], np.float32)  # [N, V, res^2, 3]
-    mask = np.asarray(pred["mask"], np.float32)
+    mask = np.asarray(pred["mask"], np.float32)[..., 0] > 0  # [N, V, res^2]
     return {
         "clouds": clouds,
         "extr": extr,
         "intr": intr,
         "images": images,
+        "mask": mask,
         "teacher_img_std": float(images.std()),
         "teacher_mask_mean": float(mask.mean()),
+        "eval_fn": eval_fn,
     }
 
 
-def psnr_per_view(pred_imgs: np.ndarray, gt_imgs: np.ndarray) -> float:
+def psnr_per_view(pred_imgs: np.ndarray, gt_imgs: np.ndarray,
+                  mask: np.ndarray = None) -> float:
     """Mean over (object, view) of per-view PSNR at data_range 1 — the
     reference protocol (npcd/eval/pointnerf_evaluation.py:242-257 computes
-    per-view skimage PSNR and pandas-means it)."""
-    p = np.asarray(pred_imgs, np.float64).reshape(*pred_imgs.shape[:2], -1)
-    g = np.asarray(gt_imgs, np.float64).reshape(*gt_imgs.shape[:2], -1)
-    mse = np.mean((p - g) ** 2, axis=-1)  # [N, V]
+    per-view skimage PSNR and pandas-means it). With `mask` [N, V, R] the
+    MSE is restricted to the teacher's object pixels — the background is
+    trivially white under white_back, so the full-frame PSNR is inflated
+    by ~90% background; the masked number is the discriminative one."""
+    p = np.asarray(pred_imgs, np.float64).reshape(*pred_imgs.shape[:2], -1, 3)
+    g = np.asarray(gt_imgs, np.float64).reshape(*gt_imgs.shape[:2], -1, 3)
+    se = np.mean((p - g) ** 2, axis=-1)  # [N, V, R]
+    if mask is None:
+        mse = se.mean(axis=-1)
+    else:
+        m = np.asarray(mask, bool)
+        cnt = np.maximum(m.sum(axis=-1), 1)
+        mse = np.where(m, se, 0.0).sum(axis=-1) / cnt
     return float(np.mean(10.0 * np.log10(1.0 / np.maximum(mse, 1e-12))))
 
 
@@ -175,7 +190,7 @@ def make_ref_dataset(scene, geom, n_views):
     return RefScene(root=None, verbose=False)
 
 
-def ref_eval_psnr(pn_ref, scene, geom, n_views) -> float:
+def ref_eval_preds(pn_ref, scene, geom) -> np.ndarray:
     """Reference eval-mode full-image render, object-batched for CPU RAM."""
     import torch
 
@@ -191,7 +206,7 @@ def ref_eval_psnr(pn_ref, scene, geom, n_views) -> float:
             )
             preds.append(pred["channels"][0].detach().numpy())
     pn_ref.train()
-    return psnr_per_view(np.stack(preds), scene["images"])
+    return np.stack(preds)
 
 
 def run_stage1_ref(scene, geom, n_views, steps, seed, lr=1e-3):
@@ -217,6 +232,12 @@ def run_stage1_ref(scene, geom, n_views, steps, seed, lr=1e-3):
 
     wrapper = RefModelWrapper(pn_ref)
     ref_losses = []
+    ref_rays = []  # the batch-min trained-ray count per step
+    # (reference aggregator.py:78-119: num_samples = min over instances of
+    # the valid-ray count — the whole batch trains on that many rays; the
+    # npcd_tpu fixed-shape selection instead trains each instance on
+    # min(valid_i, train_rays) rays, so it consumes more gradient signal
+    # per step. Quantified here for the convergence-speed comparison.)
 
     class LossRecorder(torch.nn.Module):
         def __init__(self, inner):
@@ -226,6 +247,7 @@ def run_stage1_ref(scene, geom, n_views, steps, seed, lr=1e-3):
         def forward(self, **kw):
             loss, sub, pw = self.inner(**kw)
             ref_losses.append(float(loss.detach()))
+            ref_rays.append(int(kw["pred"]["ray_idx"].shape[2]))
             return loss, sub, pw
 
     lw = (1.0, 1e-7, 3.5e-7)  # reference train_pointnerf.py:56-59
@@ -259,10 +281,13 @@ def run_stage1_ref(scene, geom, n_views, steps, seed, lr=1e-3):
         training._log_all = lambda *a, **k: None
         training()
     sec = time.time() - t0
-    psnr = ref_eval_psnr(pn_ref, scene, geom, n_views)
+    preds = ref_eval_preds(pn_ref, scene, geom)
     return {
-        "final_psnr": psnr,
+        "final_psnr": psnr_per_view(preds, scene["images"]),
+        "final_psnr_masked": psnr_per_view(preds, scene["images"],
+                                           scene["mask"]),
         "losses": ref_losses,
+        "rays_per_step_mean": float(np.mean(ref_rays)),
         "sec": sec,
     }, pn_ref
 
@@ -305,17 +330,16 @@ def run_stage1_tpu(scene, geom, n_views, steps, seed, lr=1e-3):
         losses.append(float(metrics["loss"]))
     sec = time.time() - t0
 
-    pred, _ = pn.forward(
-        state.params,
-        jnp.arange(geom.n_obj),
-        batch["intrinsics"],
-        batch["extrinsics"],
-        train=False,
-        resolution=geom.resolution,
+    # shared jitted eval (students share the teacher's geometry)
+    pred = scene["eval_fn"](
+        state.params, jnp.arange(geom.n_obj),
+        batch["intrinsics"], batch["extrinsics"],
     )
-    psnr = psnr_per_view(np.asarray(pred["channels"]), scene["images"])
+    preds = np.asarray(pred["channels"])
     return {
-        "final_psnr": psnr,
+        "final_psnr": psnr_per_view(preds, scene["images"]),
+        "final_psnr_masked": psnr_per_view(preds, scene["images"],
+                                           scene["mask"]),
         "losses": losses,
         "sec": sec,
     }, (pn, state.params)
@@ -476,8 +500,15 @@ def run_stage2_tpu(coords_lat, feats_lat, steps, seed, gen, width, layers,
     train_sec = time.time() - t0
 
     t0 = time.time()
+    # the jitted step donates its state; the generation state must use the
+    # final state's own (freshly returned) normalizer arrays
+    gen_state = dstate.replace(
+        params=state.params,
+        coords_norm=state.coords_norm,
+        feats_norm=state.feats_norm,
+    )
     gen_coords, gen_feats = dm.generate(
-        dstate.replace(params=state.params),
+        gen_state,
         jax.random.PRNGKey(seed + 300),
         num=gen,
         batch_size=gen,
@@ -551,17 +582,24 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--seed0", type=int, default=0)
     p.add_argument("--steps1", type=int, default=2000)
+    p.add_argument("--steps1-ref-mult", type=float, default=1.0,
+                   help="multiply the REFERENCE side's stage-1 steps (the "
+                        "fixed-shape selection trains each instance on "
+                        "min(valid, train_rays) rays/step vs the "
+                        "reference's batch-min count — roughly 2x the "
+                        "signal; a mult >= 2 compares PLATEAUS instead of "
+                        "equal-step convergence speed)")
     p.add_argument("--steps2", type=int, default=3000)
     p.add_argument("--gen", type=int, default=64)
     p.add_argument("--res", type=int, default=32)
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--n_obj", type=int, default=8)
-    p.add_argument("--num_points", type=int, default=24)
+    p.add_argument("--num_points", type=int, default=48)
     p.add_argument("--feat_dim", type=int, default=8)
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--heads", type=int, default=2)
-    p.add_argument("--teacher_bias", type=float, default=2.0)
+    p.add_argument("--teacher_bias", type=float, default=3.0)
     p.add_argument("--platform", default=None,
                    help="JAX platform override (default: whatever the "
                         "image provides — TPU when tunneled; 'cpu' forces "
@@ -615,10 +653,12 @@ def main(argv=None):
 
     if args.stage in ("1", "both"):
         runs = []
+        ref_steps = int(args.steps1 * args.steps1_ref_mult)
         for sd in seeds:
-            r_ref, _ = run_stage1_ref(scene, geom, args.views, args.steps1, sd)
+            r_ref, _ = run_stage1_ref(scene, geom, args.views, ref_steps, sd)
             print(
                 f"stage1 seed {sd} ref: PSNR {r_ref['final_psnr']:.2f} "
+                f"(masked {r_ref['final_psnr_masked']:.2f}) "
                 f"({r_ref['sec']:.0f}s)",
                 flush=True,
             )
@@ -629,6 +669,7 @@ def main(argv=None):
                 student0 = student
             print(
                 f"stage1 seed {sd} tpu: PSNR {r_tpu['final_psnr']:.2f} "
+                f"(masked {r_tpu['final_psnr_masked']:.2f}) "
                 f"({r_tpu['sec']:.0f}s)",
                 flush=True,
             )
@@ -637,16 +678,20 @@ def main(argv=None):
                     "seed": sd,
                     "ref_final_psnr": r_ref["final_psnr"],
                     "tpu_final_psnr": r_tpu["final_psnr"],
+                    "ref_final_psnr_masked": r_ref["final_psnr_masked"],
+                    "tpu_final_psnr_masked": r_tpu["final_psnr_masked"],
                     "ref_final_loss": float(np.mean(r_ref["losses"][-50:])),
                     "tpu_final_loss": float(np.mean(r_tpu["losses"][-50:])),
                     "ref_losses_every10": r_ref["losses"][::10],
                     "tpu_losses_every10": r_tpu["losses"][::10],
+                    "ref_rays_per_step_mean": r_ref["rays_per_step_mean"],
+                    "ref_steps": ref_steps,
                     "ref_sec": r_ref["sec"],
                     "tpu_sec": r_tpu["sec"],
                 }
             )
-        refs = np.array([r["ref_final_psnr"] for r in runs])
-        tpus = np.array([r["tpu_final_psnr"] for r in runs])
+        refs = np.array([r["ref_final_psnr_masked"] for r in runs])
+        tpus = np.array([r["tpu_final_psnr_masked"] for r in runs])
         seed_std = max(
             float(refs.std(ddof=1)) if len(refs) > 1 else 0.0,
             float(tpus.std(ddof=1)) if len(tpus) > 1 else 0.0,
@@ -655,6 +700,11 @@ def main(argv=None):
         out["stage1"] = {
             "per_seed": runs,
             "summary": {
+                "metric": "masked_psnr",
+                "ref_full_psnr_mean": float(np.mean(
+                    [r["ref_final_psnr"] for r in runs])),
+                "tpu_full_psnr_mean": float(np.mean(
+                    [r["tpu_final_psnr"] for r in runs])),
                 "ref_psnr_mean": float(refs.mean()),
                 "ref_psnr_std": float(refs.std(ddof=1)) if len(refs) > 1 else 0.0,
                 "tpu_psnr_mean": float(tpus.mean()),
