@@ -34,6 +34,13 @@ def eval(args):
         writer.setup_writers(args.log_dir or out_dir, tensorboard=not args.no_tensorboard)
 
     config = load_config(args.config)
+    if args.matmul_precision != "default":
+        # reference-exact f32 renders on TPU need 'highest' matmul
+        # precision (see eval_pointnerf.py / docs/PARITY.md "renderer
+        # precision"); applies to the FID protocol's 251k renders
+        rc = dict(config.get("render_config", {}))
+        rc.setdefault("matmul_precision", args.matmul_precision)
+        config["render_config"] = rc
     print_config(config)
 
     model = NPCD.from_config(config)
@@ -54,18 +61,28 @@ def eval(args):
     if getattr(args, "render_dtype", None):  # CLI override (see
         eval_kw["render_dtype"] = (  # DiffusionEvaluation.render_dtype
             None if args.render_dtype == "float32" else args.render_dtype)
+    import contextlib
+
+    prec_ctx = (
+        jax.default_matmul_precision(args.matmul_precision)
+        if args.matmul_precision != "default" else contextlib.nullcontext()
+    )
     evaluation = DiffusionEvaluation(
         out_dir=out_dir,
         mesh=mesh,
         **eval_kw,
     )
-    evaluation(
-        model,
-        params["pointnerf"],
-        params["diffusion"],
-        rng=jax.random.PRNGKey(args.seed),
-        num_qualitatives=args.num_qualitatives,
-    )
+    with prec_ctx:
+        # covers every jit traced inside: the f32 reference-exact sampler
+        # (its matmuls otherwise run at the TPU bf16-operand DEFAULT) and
+        # the render/Inception paths
+        evaluation(
+            model,
+            params["pointnerf"],
+            params["diffusion"],
+            rng=jax.random.PRNGKey(args.seed),
+            num_qualitatives=args.num_qualitatives,
+        )
     if out_dir:
         writer.close_writers()
 
@@ -93,6 +110,11 @@ if __name__ == "__main__":
     parser.add_argument("--comment", type=str)
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu, tpu).")
+    parser.add_argument("--matmul_precision", default="highest",
+                        choices=["default", "float32", "highest"],
+                        help="Render matmul precision for the FID "
+                             "protocol; 'highest' (default) = reference-"
+                             "exact f32 on TPU (see eval_pointnerf.py).")
     parser.add_argument("--mesh", action="store_true",
                         help="Data-parallel eval over all local devices "
                              "(objects shard in the sampler and renderer).")

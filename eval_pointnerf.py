@@ -33,6 +33,15 @@ def eval(args):
         writer.setup_writers(args.log_dir or out_dir, tensorboard=not args.no_tensorboard)
 
     config = load_config(args.config)
+    if args.matmul_precision != "default":
+        # Parity-of-record renders need exact f32 matmuls: on TPU the
+        # DEFAULT f32 precision feeds the MXU bf16 operands (~2% RMS
+        # render deviation vs the reference's CUDA f32 — measured in
+        # docs/experiments/renderer_precision.json), so the PSNR protocol
+        # runs at 'highest' unless explicitly lowered.
+        rc = dict(config.get("render_config", {}))
+        rc.setdefault("matmul_precision", args.matmul_precision)
+        config["render_config"] = rc
     print_config(config)
 
     from npcd_tpu.utils.builders import build_dataset, build_pointnerf
@@ -48,18 +57,25 @@ def eval(args):
         from npcd_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    import contextlib
+
+    prec_ctx = (
+        jax.default_matmul_precision(args.matmul_precision)
+        if args.matmul_precision != "default" else contextlib.nullcontext()
+    )
     evaluation = PointNeRFEvaluation(out_dir=out_dir,
                                      eval_batch_size=args.eval_batch_size,
                                      mesh=mesh)
-    evaluation(
-        dataset,
-        model,
-        params,
-        samples=args.num_samples,
-        sample_indices=args.samples,
-        qualitatives=args.num_qualitatives,
-        resolution=model.opts.default_resolution,
-    )
+    with prec_ctx:
+        evaluation(
+            dataset,
+            model,
+            params,
+            samples=args.num_samples,
+            sample_indices=args.samples,
+            qualitatives=args.num_qualitatives,
+            resolution=model.opts.default_resolution,
+        )
     if out_dir:
         writer.close_writers()
 
@@ -89,6 +105,13 @@ if __name__ == "__main__":
                         help="Accepted for reference-CLI compatibility (wandb is not bundled).")
     parser.add_argument("--exp_id", type=str)
     parser.add_argument("--comment", type=str)
+    parser.add_argument("--matmul_precision", default="highest",
+                        choices=["default", "float32", "highest"],
+                        help="Render matmul precision. 'highest' (default) "
+                             "= reference-exact f32 renders on TPU; "
+                             "'default' = the ambient JAX precision (MXU "
+                             "bf16 operands on TPU, faster, ~2%% RMS "
+                             "render deviation).")
     parser.add_argument("--mesh", action="store_true",
                         help="Data-parallel eval over all local devices "
                              "(view batches shard across the mesh; use with "

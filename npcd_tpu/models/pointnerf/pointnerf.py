@@ -90,6 +90,16 @@ class PointNeRFRenderConfig:
     # aggregator.py:42-58, one fused kNN pass); 'voxel' = dilated voxel
     # occupancy window (the CUDA voxel-grid semantic)
     validity: str = "knn"
+    # Matmul precision for the render core (None = JAX ambient default).
+    # On TPU the DEFAULT f32 matmul precision feeds the MXU bf16 operands,
+    # so an "f32" render deviates ~2% RMS from the exact-f32 semantics
+    # (measured r05: 34 dB cross-PSNR against the CPU render of the same
+    # trained weights, docs/experiments/renderer_precision.json);
+    # 'highest' (bf16x6 passes) restores float-exact renders for the
+    # parity protocols. The eval CLIs and tools/parity_eval.py set
+    # 'highest'; training keeps the ambient default (bf16 compute is the
+    # qualified training configuration anyway).
+    matmul_precision: Optional[str] = None
 
     def resolved_train_remat(self) -> bool:
         if self.train_remat is not None:
@@ -157,6 +167,36 @@ class PointNeRF:
     # -- core ----------------------------------------------------------------
 
     def _render_core(
+        self,
+        params: Dict[str, Any],
+        kp_pos: jnp.ndarray,     # [I, P, 3]
+        kp_feat: jnp.ndarray,    # [I, P, F]
+        occ: Optional[VoxelOccupancy],  # grids [I, ...] ('voxel' validity only)
+        rays_o: jnp.ndarray,     # [I, R, 3]
+        rays_d: jnp.ndarray,     # [I, R, 3]
+        rng: Optional[jax.Array],
+        train: bool,
+        max_shading_pts: int,
+        ray_chunk: int,
+        select_rays: Optional[int] = None,
+        kp_weights: bool = False,
+        draws: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        if self.cfg.matmul_precision is not None:
+            # applies at trace time, so it covers everything this method
+            # stages out (kNN, aggregation MLPs, field heads, ray march)
+            with jax.default_matmul_precision(self.cfg.matmul_precision):
+                return self._render_core_body(
+                    params, kp_pos, kp_feat, occ, rays_o, rays_d, rng,
+                    train, max_shading_pts, ray_chunk, select_rays,
+                    kp_weights, draws,
+                )
+        return self._render_core_body(
+            params, kp_pos, kp_feat, occ, rays_o, rays_d, rng, train,
+            max_shading_pts, ray_chunk, select_rays, kp_weights, draws,
+        )
+
+    def _render_core_body(
         self,
         params: Dict[str, Any],
         kp_pos: jnp.ndarray,     # [I, P, 3]

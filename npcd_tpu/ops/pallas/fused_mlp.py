@@ -600,11 +600,17 @@ def _posenc_cap(dtype, cap: int) -> int:
     for bf16 production compute; f32 doubles every VMEM-resident
     activation, and the bf16-tuned fwd cap oversubscribes scoped VMEM at
     some shapes (measured: blk 4096 f32 needs 16.36M vs the 16M limit at
-    the tiny-geometry train step). Halve for >=4-byte compute."""
+    the tiny-geometry train step). Halve for >=4-byte compute; halve
+    again when the ambient matmul precision requests multi-pass f32 dots
+    (the parity-exact eval path, render_config.matmul_precision) — the
+    extra dot scratch pushed blk 3584 f32 to 17.21M scoped."""
     import numpy as _np
 
     if _np.dtype(dtype).itemsize >= 4:
-        return max(512, cap // 2)
+        cap = max(512, cap // 2)
+        prec = str(getattr(jax.config, "jax_default_matmul_precision", None))
+        if prec in ("float32", "highest", "tensorfloat32", "high"):
+            cap = max(512, cap // 2)
     return cap
 
 

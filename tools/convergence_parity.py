@@ -102,7 +102,15 @@ def build_scene(geom, n_views: int, teacher_seed: int, teacher_bias: float):
 
     # one jitted eval forward, shared by the teacher render and every
     # student PSNR eval (identical geometry -> one compile; the un-jitted
-    # forward would dispatch eagerly op-by-op, minutes over the TPU tunnel)
+    # forward would dispatch eagerly op-by-op, minutes over the TPU
+    # tunnel). Exact-f32 matmul precision: at the TPU DEFAULT the render
+    # deviates ~2% RMS from the reference/CPU semantics and the teacher
+    # GT would carry that flavor, biasing the PSNR comparison toward
+    # whichever side evaluates in the same flavor (measured +7 dB,
+    # docs/experiments/renderer_precision.json).
+    import dataclasses as _dc
+
+    pn.cfg = _dc.replace(pn.cfg, matmul_precision="highest")
     eval_fn = jax.jit(
         lambda p, oi, ii, ee: pn.forward(
             p, oi, ii, ee, train=False, resolution=geom.resolution

@@ -361,6 +361,10 @@ def main(argv=None):
                         "default). Default: the config's render_config "
                         "(knn). See docs/PARITY.md 'validity' and "
                         "docs/experiments/validity_ab.json.")
+    p.add_argument("--matmul-precision", default="highest",
+                   choices=["default", "float32", "highest"],
+                   help="render matmul precision; 'highest' (default) = "
+                        "reference-exact f32 renders on TPU")
     p.add_argument("--check-assets", action="store_true",
                    help="validate the ASSETS.md manifest (paths, "
                         "checkpoint keys, SRN layout, TS graph, stats "
@@ -399,9 +403,14 @@ def main(argv=None):
         f.write(" ".join(sys.argv) + "\n")
 
     config = load_config(args.config)
+    rc = dict(config.get("render_config", {}))
     if args.validity:
-        rc = dict(config.get("render_config", {}))
         rc["validity"] = args.validity
+    if args.matmul_precision != "default":
+        # parity-of-record renders are exact-f32 (TPU DEFAULT precision
+        # deviates ~2% RMS; docs/experiments/renderer_precision.json)
+        rc.setdefault("matmul_precision", args.matmul_precision)
+    if rc:
         config["render_config"] = rc
     logging.info(f"Converting reference checkpoint {args.weights} ...")
     converted = convert_weights(args.weights, config)
