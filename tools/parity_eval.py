@@ -351,16 +351,19 @@ def main(argv=None):
                    help="pose subset for FID smoke runs (default: all 251)")
     p.add_argument("--generate-batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--validity", choices=["knn", "voxel"], default=None,
-                   help="sample-validity semantic for the renders: 'voxel' "
-                        "= the CUDA voxel-grid occupancy window the "
-                        "published weights were trained/evaluated under "
-                        "(reference pointnerf.py:67-75); 'knn' = the "
+    p.add_argument("--validity", choices=["knn", "voxel"], default="voxel",
+                   help="sample-validity semantic for the renders. "
+                        "Default 'voxel' = the CUDA voxel-grid occupancy "
+                        "window the PUBLISHED weights were trained and "
+                        "evaluated under (reference pointnerf.py:67-75) — "
+                        "a model renders poorly under the other semantic "
+                        "(docs/experiments/validity_ab.json: 41.7 vs "
+                        "23.9 dB), so parity evals of the released "
+                        "checkpoint must use voxel. 'knn' = the "
                         "reference's pure-tensor fallback semantic "
-                        "(aggregator.py:42-58, npcd_tpu production "
-                        "default). Default: the config's render_config "
-                        "(knn). See docs/PARITY.md 'validity' and "
-                        "docs/experiments/validity_ab.json.")
+                        "(aggregator.py:42-58), npcd_tpu's default for "
+                        "self-trained models. See docs/PARITY.md "
+                        "'validity'.")
     p.add_argument("--matmul-precision", default="highest",
                    choices=["default", "float32", "highest"],
                    help="render matmul precision; 'highest' (default) = "
