@@ -32,13 +32,20 @@ class PointNeRFLossWeights(NamedTuple):
 
 
 def image_reconstruction_loss(
-    gt_images: jnp.ndarray,  # [B, V, H*W, 3] (flattened pixels)
+    gt_images: jnp.ndarray,  # [B, V, H*W, 3] (flattened pixels), or
+    #                          [B, V, R_pre, 3] host-presampled pixels
     pred: Dict[str, jnp.ndarray],
     weight: float = 1.0,
+    presampled_images: bool = False,
 ) -> jnp.ndarray:
-    ray_idx = pred.get("ray_idx")
-    if ray_idx is not None:
-        gt = jnp.take_along_axis(gt_images, ray_idx[..., None], axis=2)
+    if presampled_images:
+        # gt_images hold only the presampled pixel subset; gather by the
+        # in-presample position of each selected ray (pred['ray_sel']),
+        # not the flat pixel id. Same gathered values as the full-frame
+        # path by construction (pixel_idx[sel] == ray_idx).
+        gt = jnp.take_along_axis(gt_images, pred["ray_sel"][..., None], axis=2)
+    elif pred.get("ray_idx") is not None:
+        gt = jnp.take_along_axis(gt_images, pred["ray_idx"][..., None], axis=2)
     else:
         gt = gt_images
     err = (pred["channels"] - gt) ** 2  # [B, V, R, 3]
@@ -87,9 +94,11 @@ def pointnerf_loss(
     aux: Dict[str, jnp.ndarray],
     opts: PointNeRFOptions,
     weights: PointNeRFLossWeights = PointNeRFLossWeights(),
+    presampled_images: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     recon = image_reconstruction_loss(
-        sample["images"], pred, weights.image_reconstruction
+        sample["images"], pred, weights.image_reconstruction,
+        presampled_images=presampled_images,
     )
     kl = neural_point_cloud_kl_loss(aux, weights.neural_point_cloud_kl)
     tv = neural_point_cloud_tv_loss(aux, opts, weights.neural_point_cloud_tv)

@@ -679,6 +679,11 @@ class PointNeRF:
         }
         if "sel_idx" in out:
             pred["ray_idx"] = reshape(ray_idx[out["sel_idx"]])
+            # position of each selected ray within the presampled pixel
+            # set — lets the loss gather GT from host-presampled images
+            # ([B, V, R_pre, 3]) instead of full frames (the H2D saver,
+            # train/pointnerf_training.py host_pixel_presample)
+            pred["ray_sel"] = reshape(out["sel_idx"])
         elif ray_idx is not None:
             pred["ray_idx"] = jnp.broadcast_to(ray_idx, (b, v, ray_idx.shape[0]))
         return pred, aux

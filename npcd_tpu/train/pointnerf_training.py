@@ -59,7 +59,15 @@ def make_pointnerf_train_step(
     tx: optax.GradientTransformation,
     loss_weights: PointNeRFLossWeights,
     donate: bool = True,
+    presampled_images: bool = False,
 ):
+    """presampled_images: batch['images'] hold only the shared presampled
+    pixel subset ([B, V, R_pre, 3], positions in batch['draws']
+    ['pixel_idx']) instead of full frames — the host ships ~0.7% of the
+    pixel data per step (PointNeRFTraining host_pixel_presample); the
+    recon loss gathers GT by in-presample position. Loss/grads identical
+    to the full-frame path (tests/test_losses.py)."""
+
     def step(state: PointNeRFTrainState, batch, rng):
         def loss_fn(params):
             pred, aux = model.forward(
@@ -74,7 +82,8 @@ def make_pointnerf_train_step(
                 draws=batch.get("draws"),
             )
             total, sub_losses = pointnerf_loss(
-                batch, pred, aux, model.opts, loss_weights
+                batch, pred, aux, model.opts, loss_weights,
+                presampled_images=presampled_images,
             )
             return total, sub_losses
 
@@ -110,6 +119,7 @@ class PointNeRFTraining:
         log_scalars_interval: int = 100,
         log_interval: int = 5000,
         save_checkpoint_interval_min: float = 20.0,
+        host_pixel_presample: Optional[bool] = None,
         verbose: bool = True,
         **_,
     ):
@@ -157,7 +167,24 @@ class PointNeRFTraining:
             self.state, self.finished_iterations = self.saver.restore(self.state)
             logging.info(f"Restored checkpoint at iteration {self.finished_iterations}")
 
-        self.train_step = make_pointnerf_train_step(model, self.tx, loss_weights)
+        # Host-side shared-pixel presampling (default on): the step only
+        # consumes ray_subsamples pixels/view (the reference's shared
+        # randperm, renderer.py:232-238, drawn on the host RNG instead of
+        # on device), so the loop ships [B, V, R_pre, 3] GT pixels
+        # (~0.7% of the full frames — the full-frame H2D was measured as
+        # the sustained-loop wall at 1.3 s/step over this environment's
+        # TPU tunnel, docs/experiments/sustained_capture.json).
+        r_pre = model.opts.renderer.ray_subsamples
+        self.host_pixel_presample = (
+            bool(r_pre) if host_pixel_presample is None
+            else host_pixel_presample
+        )
+        self._presample_rng = np.random.default_rng(seed + 0x51D)
+
+        self.train_step = make_pointnerf_train_step(
+            model, self.tx, loss_weights,
+            presampled_images=self.host_pixel_presample,
+        )
 
         if verbose:
             logging.info(
@@ -191,10 +218,28 @@ class PointNeRFTraining:
                 k: batch[k]
                 for k in ("obj_idx", "images", "intrinsics", "extrinsics")
             }
+            draws = None
+            if self.host_pixel_presample:
+                res2 = feed["images"].shape[2]
+                r_pre = self.model.opts.renderer.ray_subsamples
+                pixel_idx = self._presample_rng.choice(
+                    res2, size=r_pre, replace=False
+                ).astype(np.int32)
+                feed["images"] = np.ascontiguousarray(
+                    feed["images"][:, :, pixel_idx, :]
+                )
+                draws = {"pixel_idx": pixel_idx}
             if self.mesh is not None:
                 feed = shard_batch(feed, self.mesh)
+                if draws is not None:
+                    # pixel_idx has no batch dim — replicate it (every
+                    # shard renders the same shared pixel subset, the
+                    # reference's shared-randperm semantic)
+                    feed["draws"] = replicate(draws, self.mesh)
             else:
                 feed = jax.device_put(feed)
+                if draws is not None:
+                    feed["draws"] = jax.device_put(draws)
             return feed, batch
 
         while it < self.max_iterations:
