@@ -288,7 +288,10 @@ class DiffusionTraining:
                     # the wall-clock decision is broadcast from process 0
                     # (gated on the iteration counter to keep the blocking
                     # collective off the hot path)
-                    self.saver.save(jax.device_get(self.state), it)
+                    # on-device snapshot + background host fetch: the
+                    # blocking device_get cost ~140 s/save over the TPU
+                    # tunnel (r05 sustained capture)
+                    self.saver.save_async_from_device(self.state, it)
                     last_ckpt_time = time.time()
                 if it % self.weights_only_interval == 0:
                     self._save_weights_only(it)

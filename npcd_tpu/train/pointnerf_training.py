@@ -276,7 +276,10 @@ class PointNeRFTraining:
                     # the wall-clock decision is broadcast from process 0
                     # (gated on the iteration counter to keep the blocking
                     # collective off the hot path)
-                    self.saver.save(jax.device_get(self.state), it)
+                    # on-device snapshot + background host fetch: the
+                    # blocking device_get cost ~140 s/save over the TPU
+                    # tunnel (r05 sustained capture)
+                    self.saver.save_async_from_device(self.state, it)
                     last_ckpt_time = time.time()
 
         return self._finalize(it)

@@ -207,8 +207,39 @@ class CheckpointSaver:
             write_layout_meta(path, self.layout_meta)
         return path
 
+    def save_async_from_device(self, state: Any, iteration: int) -> None:
+        """Timed-snapshot save that keeps the device->host fetch OFF the
+        step loop: an on-device copy (donation-safe, ~ms of HBM
+        bandwidth) is taken synchronously, then a background thread runs
+        device_get + save(). Motivation (r05 sustained capture,
+        docs/experiments/sustained_capture.json): `save(jax.device_get
+        (state))` blocked the stage-2 loop ~140 s per snapshot in this
+        environment — the ~4.6 GB host fetch over the TPU tunnel — even
+        though the orbax serialization itself was already async. At most
+        one snapshot is in flight; a new call joins the previous one."""
+        import threading
+
+        import jax.numpy as jnp
+
+        prev = getattr(self, "_snap_thread", None)
+        if prev is not None and prev.is_alive():
+            prev.join()
+        snap = jax.tree_util.tree_map(jnp.copy, state)
+        jax.block_until_ready(snap)
+
+        def run():
+            self.save(jax.device_get(snap), iteration)
+
+        self._snap_thread = threading.Thread(
+            target=run, name="ckpt-snapshot", daemon=True
+        )
+        self._snap_thread.start()
+
     def finish(self) -> None:
         """Block until any in-flight async save is committed to disk."""
+        prev = getattr(self, "_snap_thread", None)
+        if prev is not None and prev.is_alive():
+            prev.join()
         self._ckptr.wait_until_finished()
         if jax.process_index() == 0:
             self._gc()
