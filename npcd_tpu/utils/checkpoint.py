@@ -224,6 +224,28 @@ class CheckpointSaver:
         prev = getattr(self, "_snap_thread", None)
         if prev is not None and prev.is_alive():
             prev.join()
+        # The copy doubles the state's HBM footprint while the fetch is in
+        # flight; donation means the original buffers cannot be shared.
+        # For large states (the 302M stage-2 train state is ~4.6 GB on a
+        # 16 GB chip) that OOMs under the step's own working set —
+        # measured RESOURCE_EXHAUSTED in the r05 sustained capture — so
+        # fall back to the blocking fetch beyond ~20% of device memory
+        # (at the production 20-min cadence the blocking fetch is ~1%
+        # overhead; the async path matters for small/frequent snapshots).
+        state_bytes = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(state)
+            if hasattr(x, "dtype")
+        )
+        limit = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats.get("bytes_limit") if stats else None
+        except Exception:
+            pass
+        if state_bytes > 0.2 * (limit or 16 * 1024**3):
+            self.save(jax.device_get(state), iteration)
+            return
         snap = jax.tree_util.tree_map(jnp.copy, state)
         jax.block_until_ready(snap)
 

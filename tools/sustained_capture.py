@@ -238,6 +238,12 @@ def main(argv=None):
         "backend": jax.default_backend(),
     }
     os.makedirs(args.workdir, exist_ok=True)
+    # a capture must never resume a previous capture's checkpoints
+    # ("Training already finished" would measure nothing)
+    import shutil
+
+    for sub in ("stage1", "stage2"):
+        shutil.rmtree(osp.join(args.workdir, sub), ignore_errors=True)
     if args.stage in ("1", "both"):
         out["stage1"] = run_stage1(args.minutes, args.ckpt_min, args.n_obj,
                                    args.workdir)
