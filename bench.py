@@ -407,7 +407,12 @@ def bench_stage1_steps(preset: str):
     return 1.0 / dt, b * v * cfg.train_rays / dt, breakdown
 
 
-def bench_render_rays(preset: str) -> float:
+def bench_render_rays(preset: str, matmul_precision=None) -> float:
+    """matmul_precision='highest' measures the parity-of-record exact-f32
+    render (the eval CLI default since r05 — TPU DEFAULT-precision f32
+    renders deviate ~2% RMS from reference semantics,
+    docs/experiments/renderer_precision.json); None measures the
+    MXU-native DEFAULT flavor (continuity with r01-r04 numbers)."""
     import dataclasses
     import os.path as osp
 
@@ -443,7 +448,8 @@ def bench_render_rays(preset: str) -> float:
         # eval render keeps f32 compute for PSNR/FID parity (bf16 measured
         # ~5% faster at these shapes; use it via compute_dtype if parity
         # is not at stake)
-        render_config=PointNeRFRenderConfig(eval_ray_chunk=chunk),
+        render_config=PointNeRFRenderConfig(
+            eval_ray_chunk=chunk, matmul_precision=matmul_precision),
     )
     params = pn.init_params(jax.random.PRNGKey(0))
     poses_file = osp.join(osp.dirname(osp.abspath(__file__)),
@@ -490,7 +496,8 @@ def bench_render_rays(preset: str) -> float:
     return iters * views * res * res / dt, peak_mb
 
 
-def _eval_protocol_estimates(rays_per_sec: float, sampler_steps: float) -> dict:
+def _eval_protocol_estimates(rays_per_sec: float, sampler_steps: float,
+                             rays_per_sec_exact=None) -> dict:
     """Wall-clock estimates for the full FID protocol (reference
     README.md:89-93: 1000 objects x 251 poses x 128^2 rays rendered, 1000
     DDPM steps x 1000/32 batches, and 251,000 images through Inception —
@@ -505,7 +512,11 @@ def _eval_protocol_estimates(rays_per_sec: float, sampler_steps: float) -> dict:
     jax-Inception path shares the TPU with rendering (serial add), but
     its numbers are not interchangeable with the TorchScript graph's
     (utils/inception_jax.py NOTE)."""
-    render_h = 1000 * 251 * 128 * 128 / rays_per_sec / 3600
+    # parity-of-record renders run exact f32 (3.3x the DEFAULT-precision
+    # rate, r05); the estimate uses the exact rate when measured and
+    # reports the DEFAULT-flavor figure as the qualified fast variant
+    render_rate = rays_per_sec_exact or rays_per_sec
+    render_h = 1000 * 251 * 128 * 128 / render_rate / 3600
     sampler_h = (1000 / 32) * 1000 / sampler_steps / 3600
     out = {
         "diffusion_eval_render_hours": round(render_h, 2),
@@ -513,6 +524,9 @@ def _eval_protocol_estimates(rays_per_sec: float, sampler_steps: float) -> dict:
         # render + sampler only (the r04 definition, kept for continuity)
         "diffusion_eval_est_hours_no_extract": round(render_h + sampler_h, 2),
     }
+    if rays_per_sec_exact:
+        out["diffusion_eval_render_hours_default_precision"] = round(
+            1000 * 251 * 128 * 128 / rays_per_sec / 3600, 2)
     extract_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "docs", "experiments", "fid_extract.json",
@@ -630,6 +644,14 @@ def main():
     print(f"render rays/s: {rays_per_sec:.1f}"
           + (f" (peak mem {render_peak_mb:.0f} MB)" if render_peak_mb else ""),
           file=sys.stderr)
+    rays_per_sec_exact = None
+    if preset == "full":
+        # the parity-of-record exact-f32 render (eval CLI default) — the
+        # protocol wall-clock estimates below use this rate
+        rays_per_sec_exact, _ = bench_render_rays(
+            preset, matmul_precision="highest")
+        print(f"render rays/s (exact f32, parity default): "
+              f"{rays_per_sec_exact:.1f}", file=sys.stderr)
     s1_steps, s1_rays, s1_breakdown = bench_stage1_steps(preset)
     print(f"stage1 steps/s: {s1_steps:.3f} train rays/s: {s1_rays:.0f}", file=sys.stderr)
 
@@ -690,20 +712,28 @@ def main():
             **({"op_breakdown": op_breakdown} if op_breakdown else {}),
             **({"stage1_op_breakdown": s1_breakdown} if s1_breakdown else {}),
             **(
-                _eval_protocol_estimates(rays_per_sec, sampler_steps)
+                _eval_protocol_estimates(rays_per_sec, sampler_steps,
+                                         rays_per_sec_exact)
                 if sampler_steps
+                else {}
+            ),
+            **(
+                {"render_rays_per_sec_exact": round(rays_per_sec_exact, 1)}
+                if rays_per_sec_exact
                 else {}
             ),
             # PSNR protocol wall-clock (reference eval_pointnerf.py: 2347
             # train objects x 50 views, full 128^2 renders, batch 1) at
-            # the measured eval render rate; view-DP over a v5e-8 shards
-            # it embarrassingly (PointNeRFEvaluation(mesh=...)).
+            # the parity-of-record exact render rate; view-DP over a
+            # v5e-8 shards it embarrassingly (PointNeRFEvaluation(mesh=...)).
             **(
                 {
                     "pointnerf_eval_est_hours": round(
-                        2347 * 50 * 128 * 128 / rays_per_sec / 3600, 2),
+                        2347 * 50 * 128 * 128
+                        / (rays_per_sec_exact or rays_per_sec) / 3600, 2),
                     "pointnerf_eval_est_hours_dp8": round(
-                        2347 * 50 * 128 * 128 / rays_per_sec / 3600 / 8, 2),
+                        2347 * 50 * 128 * 128
+                        / (rays_per_sec_exact or rays_per_sec) / 3600 / 8, 2),
                 }
                 if preset == "full"
                 else {}
