@@ -493,6 +493,25 @@ def bench_render_rays(preset: str, matmul_precision=None) -> float:
             peak_mb = stats["peak_bytes_in_use"] / (1024 * 1024)
     except Exception:
         pass
+    if peak_mb is None:
+        # the axon-tunneled device exposes no runtime memory_stats; use
+        # the compiler's own allocation analysis (argument + output +
+        # temp + generated code) — the number the runtime will reserve
+        try:
+            ma = (
+                jax.jit(render)
+                .lower(params, coords, feats)
+                .compile()
+                .memory_analysis()
+            )
+            peak_mb = (
+                ma.argument_size_in_bytes
+                + ma.output_size_in_bytes
+                + ma.temp_size_in_bytes
+                + ma.generated_code_size_in_bytes
+            ) / (1024 * 1024)
+        except Exception:
+            pass
     return iters * views * res * res / dt, peak_mb
 
 
