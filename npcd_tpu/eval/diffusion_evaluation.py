@@ -206,18 +206,43 @@ class DiffusionEvaluation:
             )
             feed_futures = []
 
-        def feed_fakes(images_flat):
+        qualitative_stride_holder = []
+
+        def process_group(images_dev, g, first_idx):
+            """Device->host fetch, 255-quantization, Inception feed, and
+            qualitative saves for one render group — run on the worker
+            thread so the D2H transfer (~590 MB/group here) overlaps the
+            next group's TPU renders instead of blocking them."""
+            images = np.concatenate(
+                [np.asarray(c) for c in images_dev], 1
+            ).reshape(g, num_poses, self.resolution, self.resolution, 3)
+            images = np.clip(images, 0.0, 1.0)
+            images = np.round(images * 255.0) / 255.0  # 255-level quantization
+            fidkid.feed(
+                images.reshape(g * num_poses, self.resolution,
+                               self.resolution, 3),
+                "fakes",
+            )
+            if self.out_dir is not None:
+                stride = qualitative_stride_holder[0]
+                for jj in range(g):
+                    if (first_idx + jj) % stride == 0:
+                        self._save_qualitative(images[jj], first_idx + jj)
+
+        def submit_group(images_dev, g, first_idx):
             if executor is None:
-                fidkid.feed(images_flat, "fakes")
+                process_group(images_dev, g, first_idx)
                 return
             while len(feed_futures) >= 2:  # bound the image backlog
                 feed_futures.pop(0).result()
             feed_futures.append(
-                executor.submit(fidkid.feed, images_flat, "fakes")
+                executor.submit(process_group, images_dev, g, first_idx)
             )
 
         done = 0
-        qualitative_stride = max(1, self.num_samples // max(num_qualitatives, 1))
+        qualitative_stride_holder.append(
+            max(1, self.num_samples // max(num_qualitatives, 1))
+        )
         for gen_idx, n_gen in enumerate(
             split_num(self.num_samples, self.generate_batch_size)
         ):
@@ -250,7 +275,7 @@ class DiffusionEvaluation:
                 feats = put(
                     np.ascontiguousarray(feats_b[j0 : j0 + g].transpose(0, 2, 1))
                 )
-                images = []
+                images_dev = []
                 for pose_idx in pose_batches:
                     extr = put(
                         np.ascontiguousarray(np.broadcast_to(
@@ -266,22 +291,10 @@ class DiffusionEvaluation:
                     )
                     channels = render_poses(
                         pointnerf_params, coords, feats, extr, intr
-                    )  # [g, Vb, H*W, 3]
-                    images.append(np.asarray(channels))
-                images = np.concatenate(images, 1).reshape(
-                    g, num_poses, self.resolution, self.resolution, 3
-                )
-                images = np.clip(images, 0.0, 1.0)
-                images = np.round(images * 255.0) / 255.0  # 255-level quantization
-                feed_fakes(
-                    images.reshape(g * num_poses, self.resolution,
-                                   self.resolution, 3)
-                )
-
-                if self.out_dir is not None:
-                    for jj in range(g):
-                        if (done + jj) % qualitative_stride == 0:
-                            self._save_qualitative(images[jj], done + jj)
+                    )  # [g, Vb, H*W, 3] — stays on device; the worker
+                    # fetches it so D2H overlaps the next renders
+                    images_dev.append(channels)
+                submit_group(images_dev, g, done)
                 done += g
             if self.verbose:
                 logging.info(f"diffusion eval: {done}/{self.num_samples} objects")
