@@ -64,6 +64,17 @@ from jax.experimental.pallas import tpu as pltpu
 # in base-2 units (m2 + log2(l)); it never leaves the fwd->bwd pair.
 _LOG2_E = 1.4426950408889634
 
+# Every dot in this kernel family pins DEFAULT precision explicitly: the
+# kernel's contract is bf16-operand MXU multiplies with f32 accumulation
+# (qualified numerics, header note above), and an AMBIENT multi-pass
+# precision (jax.default_matmul_precision('highest'), the r05 parity
+# render setting) would both change the qualified semantics and blow the
+# kernel's scoped-VMEM plan (measured: f32 sampler under ambient highest
+# fails to compile at 20.18M vs the 16M limit). Exact-precision attention
+# is not a parity requirement — the sampler chain is contractive and its
+# full-bf16 variant is qualified end-to-end (docs/PARITY.md GELU note).
+_DOT_PREC = jax.lax.Precision.DEFAULT
+
 import os as _os
 
 # exact-parity escape hatch for the bf16 sum-dot softmax normalizer (see
@@ -108,7 +119,7 @@ def _logits(q_scaled, k, mask_bias):
     # fp16 einsum path uses (transformer.py:68-84 pre-scales q/k).
     logits = jax.lax.dot_general(
         q_scaled, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_DOT_PREC,
     )  # [S, S] f32, base-2 logits
     if mask_bias is not None:
         # keys beyond valid_len are padding tokens (the caller pads S up to
@@ -169,6 +180,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
         if use_sumdot:
             e = jnp.exp2(logits - m).astype(xv.dtype)
             ol = jnp.dot(e, vaug[:, h * aug_cols:(h + 1) * aug_cols],
+                         precision=_DOT_PREC,
                          preferred_element_type=jnp.float32)  # [S, aug]
             l = ol[:, d:d + 1]
             o = ol[:, :d]
@@ -180,7 +192,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int, hpb: int,
             # e to the IO dtype for the PV matmul — same precision
             # semantics as the einsum fallback's weights.astype(q.dtype);
             # accumulation stays f32
-            o = jnp.dot(e.astype(xv.dtype), xv[:, sl],
+            o = jnp.dot(e.astype(xv.dtype), xv[:, sl], precision=_DOT_PREC,
                         preferred_element_type=jnp.float32)
         o_ref[:, sl] = (o / l).astype(o_ref.dtype)
         # base-2 log-sum-exp residual ([S, 1] per head, heads on lanes) lets
@@ -214,21 +226,22 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
         pc = p.astype(io)
         dv = jax.lax.dot_general(
             pc, g, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_DOT_PREC,
         )
         dp = jax.lax.dot_general(
             g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_DOT_PREC,
         )
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
         # sm_scale is applied to the [S, D] f32 matmul outputs below, not to
         # the [S, S] ds — one fewer full-logits VPU pass, and the f32
         # post-scale rounds once less than scaling ds before the io cast
         ds = (p * (dp - delta)).astype(io)
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32,
+                     precision=_DOT_PREC) * sm_scale
         dk = jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_DOT_PREC,
         ) * sm_scale
         dq_ref[:, sl] = dq.astype(dq_ref.dtype)
         dk_ref[:, sl] = dk.astype(dk_ref.dtype)
