@@ -107,10 +107,14 @@ if __name__ == "__main__":
     parser.add_argument("--platform", type=str, default=None,
                         help="Force JAX platform (e.g. cpu, tpu).")
     parser.add_argument("--matmul_precision", default="highest",
-                        choices=["default", "float32", "highest"],
+                        choices=["default", "float32", "highest",
+                                 "tensorfloat32"],
                         help="Render matmul precision for the FID "
                              "protocol; 'highest' (default) = reference-"
-                             "exact f32 on TPU (see eval_pointnerf.py).")
+                             "exact f32 on TPU; 'tensorfloat32' = bf16x3 "
+                             "middle setting, 1.6x faster renders at "
+                             "~2^-16 operand error (Pallas kernels "
+                             "emulate it; see ops/pallas/fused_mlp._kdot).")
     parser.add_argument("--mesh", action="store_true",
                         help="Data-parallel eval over all local devices "
                              "(objects shard in the sampler and renderer).")

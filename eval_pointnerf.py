@@ -106,11 +106,15 @@ if __name__ == "__main__":
     parser.add_argument("--exp_id", type=str)
     parser.add_argument("--comment", type=str)
     parser.add_argument("--matmul_precision", default="highest",
-                        choices=["default", "float32", "highest"],
+                        choices=["default", "float32", "highest",
+                                 "tensorfloat32"],
                         help="Render matmul precision. 'highest' (default) "
                              "= reference-exact f32 renders on TPU; "
+                             "'tensorfloat32' = bf16x3 middle setting, "
+                             "1.6x faster at ~2^-16 operand error (Pallas "
+                             "kernels emulate it in-kernel); "
                              "'default' = the ambient JAX precision (MXU "
-                             "bf16 operands on TPU, faster, ~2%% RMS "
+                             "bf16 operands on TPU, fastest, ~2%% RMS "
                              "render deviation).")
     parser.add_argument("--mesh", action="store_true",
                         help="Data-parallel eval over all local devices "

@@ -96,9 +96,12 @@ class PointNeRFRenderConfig:
     # (measured r05: 34 dB cross-PSNR against the CPU render of the same
     # trained weights, docs/experiments/renderer_precision.json);
     # 'highest' (bf16x6 passes) restores float-exact renders for the
-    # parity protocols. The eval CLIs and tools/parity_eval.py set
-    # 'highest'; training keeps the ambient default (bf16 compute is the
-    # qualified training configuration anyway).
+    # parity protocols; 'tensorfloat32' (bf16x3, emulated in-kernel by
+    # ops/pallas/fused_mlp._kdot since Mosaic lowers only DEFAULT and
+    # HIGHEST dots) renders 1.6x faster than 'highest' at ~2^-16 operand
+    # error. The eval CLIs and tools/parity_eval.py set 'highest';
+    # training keeps the ambient default (bf16 compute is the qualified
+    # training configuration anyway).
     matmul_precision: Optional[str] = None
 
     def resolved_train_remat(self) -> bool:

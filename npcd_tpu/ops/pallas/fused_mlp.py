@@ -66,6 +66,41 @@ _BF16_BWD = _os.environ.get("NPCD_FUSED_MLP_BF16_BWD", "1") == "1"
 _FWD_SUBBLK = int(_os.environ.get("NPCD_FUSED_MLP_FWD_SUBBLK", "1"))
 
 
+def _kdot(a, b, dimension_numbers):
+    """f32-accumulating dot_general for kernel bodies, HIGH-precision aware.
+
+    Mosaic lowers only DEFAULT and HIGHEST dot precisions
+    (NotImplementedError: Unsupported dot precision: HIGH), so an ambient
+    jax.default_matmul_precision('tensorfloat32'/'high') — the bf16x3
+    middle setting XLA gives every non-Pallas dot natively — would fail to
+    compile through these kernels. Emulate it instead: split each f32
+    operand into bf16 hi + bf16 lo (lo captures the next 8 mantissa bits)
+    and run the bf16x3 algorithm as three DEFAULT single-pass MXU dots,
+    a_hi@b_hi + a_hi@b_lo + a_lo@b_hi, accumulated in f32 — the same
+    operand-error class (~2^-16 vs DEFAULT's ~2^-8) at 3 passes instead
+    of HIGHEST's 6. bf16 operands pin DEFAULT (HIGH is meaningless for
+    them and would also fail Mosaic). Ambient DEFAULT/HIGHEST inherit
+    unchanged. The ambient precision is part of the jit trace context, so
+    mode switches retrace correctly."""
+    prec = str(getattr(jax.config, "jax_default_matmul_precision", None))
+    if prec in ("tensorfloat32", "high"):
+        if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = functools.partial(
+                jax.lax.dot_general, dimension_numbers=dimension_numbers,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+        return jax.lax.dot_general(
+            a, b, dimension_numbers, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers, preferred_element_type=jnp.float32)
+
+
 def _act(h):
     return jnp.maximum(h, 0.01 * h)
 
@@ -76,8 +111,8 @@ def _act_grad(z):
 
 def _layer(h, w_ref, b_ref):
     w = w_ref[...]
-    z = jax.lax.dot(
-        h, w, preferred_element_type=jnp.float32
+    z = _kdot(
+        h, w, (((1,), (0,)), ((), ()))
     ).astype(w.dtype) + b_ref[...]
     return z
 
@@ -137,17 +172,15 @@ def _bwd_kernel(x_ref, *refs, n_layers: int, final_linear: bool, rows: int):
         if not (final_linear and l == n_layers - 1):
             g = g * _act_grad(zs[l].astype(jnp.float32))
         gd = g.astype(cd) if lowp else g
-        acc_refs[2 * l][...] += jax.lax.dot_general(
+        acc_refs[2 * l][...] += _kdot(
             hs[l].astype(cd if lowp else jnp.float32), gd,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            (((0,), (0,)), ((), ())),
         )
         acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
         w = refs[2 * l][...]
-        g = jax.lax.dot_general(
+        g = _kdot(
             gd, w if lowp else w.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            (((1,), (1,)), ((), ())),
         )
     dx_ref[0] = g.astype(dx_ref.dtype)
 
@@ -376,9 +409,8 @@ def _fwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
                                freq_mult=freq_mult, method=method,
                                rows_pad=rows_pad, lane_ok=lane_ok)
         w0 = refs[0][...]
-        h = jax.lax.dot_general(
-            h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        h = _kdot(
+            h0t, w0, (((0,), (0,)), ((), ())),
         ).astype(w0.dtype) + refs[1][...]
         if not (final_linear and n_layers == 1):
             h = _act(h)
@@ -432,9 +464,8 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
     # in the backward walk (a VPU max — cheaper than holding n-1 extra
     # [blk, 256] residuals in VMEM, which pinned the block size)
     w0 = refs[0][...]
-    z = jax.lax.dot_general(
-        h0t, w0, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    z = _kdot(
+        h0t, w0, (((0,), (0,)), ((), ())),
     ).astype(w0.dtype) + refs[1][...]
     zs = [z]
     h = z if (final_linear and n_layers == 1) else _act(z)
@@ -491,45 +522,40 @@ def _bwd_posenc_kernel(f_ref, p_ref, *refs, n_layers: int, final_linear: bool,
         # can't be the final_linear layer inside this loop
         if fast_last and l == n_layers - 1:
             hw = _wsum_reduce(_act(zs[l - 1]), w_col, reduce_k)  # [npts, d] f32
-            acc_refs[2 * l][...] += jax.lax.dot_general(
+            acc_refs[2 * l][...] += _kdot(
                 hw.astype(cd) if lowp else hw,
                 g_out.astype(cd) if lowp else g_out,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                (((0,), (0,)), ((), ())),
             )
             acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
         else:
-            acc_refs[2 * l][...] += jax.lax.dot_general(
+            acc_refs[2 * l][...] += _kdot(
                 _act(zs[l - 1]).astype(cd if lowp else jnp.float32), gd,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                (((0,), (0,)), ((), ())),
             )
             acc_refs[2 * l + 1][...] += jnp.sum(g, axis=0, keepdims=True)
         w = refs[2 * l][...]
-        g = jax.lax.dot_general(
+        g = _kdot(
             gd, w if lowp else w.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            (((1,), (1,)), ((), ())),
         )
 
     # layer 1 (transposed boundary)
     if not (final_linear and n_layers == 1):
         g = g * _act_grad(zs[0].astype(jnp.float32))
     gd = g.astype(cd) if lowp else g
-    acc_refs[0][...] += jax.lax.dot_general(
+    acc_refs[0][...] += _kdot(
         h0t.astype(cd if lowp else jnp.float32), gd,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        (((1,), (0,)), ((), ())),
     )  # [D1K, d_out]
     acc_refs[1][...] += jnp.sum(g, axis=0, keepdims=True)
     # dp dead (need_dp=False): only the feat rows of dh0t are needed, so
     # slice W1's rows before the dot and skip the posenc derivative chain
     # and the dpos output entirely
     w0d = w0 if need_dp else w0[:f_dim]
-    dh0t = jax.lax.dot_general(
+    dh0t = _kdot(
         w0d if lowp else w0d.astype(jnp.float32), gd,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        (((1,), (1,)), ((), ())),
     )  # [D1K or f_dim, blk]
 
     df_ref[0] = dh0t[:f_dim].astype(df_ref.dtype)

@@ -184,6 +184,46 @@ def test_fused_mlp_posenc_grads_match_xla():
                                    err_msg=f"db{i}")
 
 
+def test_fused_mlp_posenc_bf16x3_emulated_high_precision():
+    """Ambient 'tensorfloat32'/'high' matmul precision: Mosaic cannot lower
+    HIGH dots, so _kdot emulates the bf16x3 algorithm with three DEFAULT
+    passes. Must (a) run at all under the ambient setting, (b) agree with
+    the exact reference far more tightly than a DEFAULT (single bf16 pass)
+    dot could, fwd and bwd."""
+    from npcd_tpu.ops.pallas.fused_mlp import fused_mlp_posenc
+
+    feat_t, pos_t, weights = _posenc_setup(f_dim=16, n_freqs=4, m=40,
+                                           dims=(64, 64), d_out=64)
+    ct = jax.random.normal(jax.random.PRNGKey(3), (2, 40, 64))
+    ref = _ref_posenc_mlp(feat_t, pos_t, weights, 4, 1.0, "direct")
+
+    def loss(feat_t, pos_t, weights):
+        return (fused_mlp_posenc(feat_t, pos_t, weights, 4, 1.0, True,
+                                 "direct") * ct).sum()
+
+    try:
+        with jax.default_matmul_precision("tensorfloat32"):
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(fused_mlp_posenc(
+                    feat_t, pos_t, weights, 4, 1.0, True, "direct"))
+                gf, gw = jax.grad(loss, argnums=(0, 2))(feat_t, pos_t,
+                                                        weights)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    # bf16x3 operand error ~2^-16: well inside 1e-4 relative on these
+    # O(1) activations (a single-pass DEFAULT dot sits at ~2^-8 and fails
+    # this tolerance by two orders)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-4, atol=2e-4)
+    ref_gf, ref_gw = jax.grad(
+        lambda f, p, w: (_ref_posenc_mlp(f, p, w, 4, 1.0, "direct")
+                         * ct).sum(), argnums=(0, 2))(feat_t, pos_t, weights)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ref_gf),
+                               rtol=2e-3, atol=2e-3)
+    for (rw, rb), (pw, pb) in zip(ref_gw, gw):
+        np.testing.assert_allclose(np.asarray(pw), np.asarray(rw),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_fused_mlp_posenc_ragged_block():
     """M not a multiple of the block: OOB lanes must not poison outputs
     or dW (sin/cos of undefined loads are masked in-kernel)."""

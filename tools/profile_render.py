@@ -57,6 +57,10 @@ def main():
                     help="eval_slot_block override (staircase block size)")
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--prec", default=None,
+                    help="render matmul_precision (default ambient; "
+                         "'highest' = parity-exact, 'tensorfloat32' = "
+                         "bf16x3 middle setting)")
     ap.add_argument("--topn", type=int, default=18)
     ap.add_argument("--srn", action="store_true",
                     help="use the real SRN-Cars test poses + a car-shaped "
@@ -76,6 +80,7 @@ def main():
         n_obj=1, feats_dim=32, num_points=num_points, opts=opts,
         render_config=PointNeRFRenderConfig(
             eval_ray_chunk=args.chunk, compute_dtype=cdt,
+            matmul_precision=args.prec,
             **({"eval_slot_block": args.sb} if args.sb is not None else {})),
     )
     params = pn.init_params(jax.random.PRNGKey(0))
