@@ -664,6 +664,7 @@ def main():
           + (f" (peak mem {render_peak_mb:.0f} MB)" if render_peak_mb else ""),
           file=sys.stderr)
     rays_per_sec_exact = None
+    rays_per_sec_tf32 = None
     if preset == "full":
         # the parity-of-record exact-f32 render (eval CLI default) — the
         # protocol wall-clock estimates below use this rate
@@ -671,6 +672,13 @@ def main():
             preset, matmul_precision="highest")
         print(f"render rays/s (exact f32, parity default): "
               f"{rays_per_sec_exact:.1f}", file=sys.stderr)
+        # the bf16x3 middle flavor (emulated in-kernel, fused_mlp._kdot):
+        # 106 dB cross-PSNR from the exact flavor on trained weights —
+        # quantization-floor-exact for both protocols at ~1.6x the rate
+        rays_per_sec_tf32, _ = bench_render_rays(
+            preset, matmul_precision="tensorfloat32")
+        print(f"render rays/s (tensorfloat32, bf16x3): "
+              f"{rays_per_sec_tf32:.1f}", file=sys.stderr)
     s1_steps, s1_rays, s1_breakdown = bench_stage1_steps(preset)
     print(f"stage1 steps/s: {s1_steps:.3f} train rays/s: {s1_rays:.0f}", file=sys.stderr)
 
@@ -739,6 +747,15 @@ def main():
             **(
                 {"render_rays_per_sec_exact": round(rays_per_sec_exact, 1)}
                 if rays_per_sec_exact
+                else {}
+            ),
+            **(
+                {"render_rays_per_sec_tf32": round(rays_per_sec_tf32, 1),
+                 "pointnerf_eval_est_hours_tf32": round(
+                     2347 * 50 * 128 * 128 / rays_per_sec_tf32 / 3600, 2),
+                 "diffusion_eval_render_hours_tf32": round(
+                     1000 * 251 * 128 * 128 / rays_per_sec_tf32 / 3600, 2)}
+                if rays_per_sec_tf32
                 else {}
             ),
             # PSNR protocol wall-clock (reference eval_pointnerf.py: 2347

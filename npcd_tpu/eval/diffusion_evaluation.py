@@ -207,12 +207,44 @@ class DiffusionEvaluation:
             feed_futures = []
 
         qualitative_stride_holder = []
+        device_feed = bool(getattr(self.feature_extractor, "device_resident",
+                                   False))
+        if device_feed:
+            @jax.jit
+            def quantize_dev(imgs):  # [g, num_poses*H*W, 3] -> quantized
+                x = jnp.clip(imgs, 0.0, 1.0)
+                return jnp.round(x * 255.0) / 255.0
 
         def process_group(images_dev, g, first_idx):
-            """Device->host fetch, 255-quantization, Inception feed, and
-            qualitative saves for one render group — run on the worker
-            thread so the D2H transfer (~590 MB/group here) overlaps the
-            next group's TPU renders instead of blocking them."""
+            """255-quantization, Inception feed, and qualitative saves for
+            one render group — run on the worker thread so the work (D2H
+            transfer for a host extractor, ~590 MB/group here) overlaps
+            the next group's TPU renders instead of blocking them.
+
+            With a device-resident extractor (JaxInceptionExtractor) the
+            renders never round-trip through the host: quantization runs
+            on device and the extractor slices its batches on device; only
+            the [N, 2048] features and the strided qualitative images come
+            back (over a tunneled device the per-batch host hop was the
+            measured extraction ceiling, docs/experiments/fid_extract.json)."""
+            if device_feed:
+                images_q = quantize_dev(
+                    jnp.concatenate(images_dev, 1)
+                )  # [g, num_poses*H*W, 3] on device
+                fidkid.feed(
+                    images_q.reshape(g * num_poses, self.resolution,
+                                     self.resolution, 3),
+                    "fakes",
+                )
+                if self.out_dir is not None:
+                    stride = qualitative_stride_holder[0]
+                    for jj in range(g):
+                        if (first_idx + jj) % stride == 0:
+                            img = np.asarray(images_q[jj]).reshape(
+                                num_poses, self.resolution,
+                                self.resolution, 3)
+                            self._save_qualitative(img, first_idx + jj)
+                return
             images = np.concatenate(
                 [np.asarray(c) for c in images_dev], 1
             ).reshape(g, num_poses, self.resolution, self.resolution, 3)

@@ -207,9 +207,17 @@ class JaxInceptionExtractor:
 
     images: [N, H, W, 3] float in [0, 1] -> features [N, 2048] (numpy).
     Resizes to 299 bilinear and maps to [-1, 1] (the keras `tf` mode /
-    pytorch-fid normalize_input convention)."""
+    pytorch-fid normalize_input convention).
+
+    Accepts numpy OR device-resident jax arrays. A jax.Array input is
+    chunked by on-device slicing, so renders produced on the TPU feed the
+    extractor with no device->host->device round trip (over a tunneled
+    device the per-batch host hop was the measured extraction ceiling,
+    docs/experiments/fid_extract.json); only the [N, 2048] features come
+    back to the host."""
 
     feature_dim = 2048
+    device_resident = True  # diffusion_evaluation may feed device arrays
 
     def __init__(self, weights: Any, batch_size: int = 64):
         if isinstance(weights, (str,)):
@@ -226,16 +234,22 @@ class JaxInceptionExtractor:
 
         self._run = run
 
-    def __call__(self, images: np.ndarray) -> np.ndarray:
-        images = np.asarray(images, np.float32)
+    def __call__(self, images) -> np.ndarray:
+        on_device = isinstance(images, jax.Array)
+        if not on_device:
+            images = np.asarray(images, np.float32)
+        xp = jnp if on_device else np
         out = []
         bs = self.batch_size
-        for i in range(0, len(images), bs):
-            chunk = images[i : i + bs]
+        n = images.shape[0]
+        for i in range(0, n, bs):
+            chunk = images[i : i + bs]  # device slice when on_device
             pad = 0
-            if len(chunk) < bs and len(images) > bs:
-                pad = bs - len(chunk)  # keep one compiled shape
-                chunk = np.concatenate([chunk, chunk[:1].repeat(pad, 0)], 0)
-            feats = np.asarray(self._run(jnp.asarray(chunk)))
+            if chunk.shape[0] < bs and n > bs:
+                pad = bs - chunk.shape[0]  # keep one compiled shape
+                chunk = xp.concatenate(
+                    [chunk, xp.repeat(chunk[:1], pad, axis=0)], axis=0)
+            feats = np.asarray(self._run(
+                chunk if on_device else jnp.asarray(chunk)))
             out.append(feats[: len(feats) - pad if pad else len(feats)])
         return np.concatenate(out, axis=0)

@@ -126,6 +126,71 @@ def test_diffusion_evaluation_e2e(tmp_path):
     assert serial["fid"] == results["fid"]
 
 
+def test_diffusion_evaluation_device_resident_extractor(tmp_path):
+    """An extractor with device_resident=True must be fed jax arrays
+    (renders stay on device: device-side quantization, no bulk D2H) and
+    produce the identical metric to the host-numpy feed path."""
+    npcd = _tiny_npcd()
+    pn_params = npcd.pointnerf.init_params(jax.random.PRNGKey(0))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (4, P, 3),
+                                minval=-0.4, maxval=0.4)
+    pn_params = npcd.pointnerf.set_all_coords(pn_params, coords)
+    dstate = npcd.diffusion.init(jax.random.PRNGKey(2))
+    dstate = npcd.diffusion.fit_normalizers(
+        dstate,
+        np.random.default_rng(0).normal(size=(3, 256)).astype(np.float32),
+        np.random.default_rng(1).normal(size=(FD, 256)).astype(np.float32),
+    )
+    extr, intr = random_cameras(3, RES, seed=0)
+
+    rng = np.random.default_rng(2)
+    proj = np.random.default_rng(0).normal(
+        size=(RES * RES * 3, 8)).astype(np.float32)
+    real_imgs = rng.uniform(0, 1, (20, RES, RES, 3)).astype(np.float32)
+    real_feats = real_imgs.reshape(20, -1) @ proj
+    pkl_path = str(tmp_path / "inception_stats.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"mean": real_feats.mean(0),
+                     "cov": np.cov(real_feats, rowvar=False),
+                     "feats_np": real_feats}, f)
+
+    class DeviceProjExtractor:
+        device_resident = True
+        feature_dim = 8
+        saw_device_input = False
+
+        def __call__(self, images):
+            assert isinstance(images, jax.Array), (
+                "device_resident extractor must receive device arrays")
+            DeviceProjExtractor.saw_device_input = True
+            return np.asarray(images).reshape(images.shape[0], -1) @ proj
+
+    kw = dict(
+        num_samples=2,
+        poses=extr, intrinsics=intr,
+        inception_pkl_path=pkl_path,
+        generate_batch_size=2,
+        render_pose_batch=2,
+        resolution=RES,
+        verbose=False,
+    )
+    dev = DiffusionEvaluation(
+        out_dir=str(tmp_path / "eval_dev"),
+        feature_extractor=DeviceProjExtractor(), **kw)(
+        npcd, pn_params, dstate, rng=jax.random.PRNGKey(3),
+        num_qualitatives=1)
+    assert DeviceProjExtractor.saw_device_input
+    assert osp.exists(tmp_path / "eval_dev" / "sample0000.png")
+    host = DiffusionEvaluation(
+        out_dir=None, feature_extractor="random_projection:8", **kw)(
+        npcd, pn_params, dstate, rng=jax.random.PRNGKey(3),
+        num_qualitatives=0)
+    np.testing.assert_allclose(dev["fid"], host["fid"], rtol=1e-5, atol=1e-6)
+    # KID's subset sampler is freshly seeded per summary() call, so only
+    # finiteness is deterministic across runs (cf. test_diffusion_evaluation_e2e)
+    assert np.isfinite(dev["kid"])
+
+
 def test_diffusion_evaluation_mesh_dp_matches_single(tmp_path):
     """DP eval over the 8 fake devices ('data' mesh: sharded sampler +
     renderer) produces the same FID/KID as the unsharded pipeline on the
